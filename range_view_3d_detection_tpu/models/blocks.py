@@ -1,0 +1,235 @@
+"""Convolutional building blocks (NHWC, bf16-friendly).
+
+Capability parity with ``src/torchbox3d/nn/blocks/__init__.py`` (BasicBlock /
+ResidualBlock / AggregationBlock) and ``nn/modules/conv.py`` (same-padding
+convs) — re-designed as Flax modules with channel-last layout, which is the
+native layout for TPU convolutions (lane dimension = channels).
+
+BatchNorm runs in fp32 regardless of compute dtype; under a data-sharded
+``jit`` the batch statistics are global means, which reproduces the
+reference's ``sync_batchnorm: true`` (``conf/trainer/train.yaml:15``) with no
+explicit collective code — XLA inserts the cross-device reductions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+Dtype = Any
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+class TorchConvTranspose(nn.Module):
+    """Transposed conv with PyTorch ``ConvTranspose2d(k, s, p)`` shape
+    semantics: ``out = (in - 1) * stride + kernel - 2 * padding``.
+
+    Implemented as ``conv_general_dilated`` with ``lhs_dilation`` so XLA
+    lowers it onto the MXU like a regular convolution. Used by the
+    aggregation (upsample) nodes, parity with ``blocks/__init__.py:150-158``.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[int, int]
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.strides)
+        ph, pw = _pair(self.padding)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_ch, self.features),
+            self.param_dtype,
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class ConvNormAct(nn.Module):
+    """Conv + BatchNorm + ReLU (torchvision ``Conv2dNormActivation`` parity).
+
+    ``norm=False`` / ``act=False`` drop those stages (used for final
+    prediction convs, ``dense_head.py:46-54``).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    norm: bool = True
+    act: bool = True
+    use_bias: bool | None = None  # default: bias iff no norm
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        use_bias = (not self.norm) if self.use_bias is None else self.use_bias
+        y = nn.Conv(
+            self.features,
+            kernel_size=_pair(self.kernel_size),
+            strides=_pair(self.strides),
+            padding="SAME",
+            use_bias=use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        if self.norm:
+            y = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+            )(y)
+            y = y.astype(self.dtype)
+        if self.act:
+            y = nn.relu(y)
+        return y
+
+
+class BasicBlock(nn.Module):
+    """conv-BN-ReLU-conv(stride)-BN + (projected) residual, ReLU after add.
+
+    Parity with ``blocks/__init__.py::BasicBlock`` (13-81): the stride sits
+    on the *second* conv; the projection shortcut (1x1, strided, BN) is used
+    when ``project`` is set.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    project: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        y = ConvNormAct(
+            self.features,
+            kernel_size=self.kernel_size,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x, train=train)
+        y = ConvNormAct(
+            self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            act=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(y, train=train)
+
+        residual = x
+        if self.project:
+            residual = ConvNormAct(
+                self.features,
+                kernel_size=(1, 1),
+                strides=self.strides,
+                act=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x, train=train)
+        return nn.relu(y + residual)
+
+
+class ResidualBlock(nn.Module):
+    """N chained BasicBlocks; the first one projects and strides
+    (``blocks/__init__.py::ResidualBlock``)."""
+
+    features: int
+    num_blocks: int
+    strides: Tuple[int, int] = (1, 1)
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        x = BasicBlock(
+            self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            project=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x, train=train)
+        for _ in range(self.num_blocks - 1):
+            x = BasicBlock(
+                self.features,
+                kernel_size=self.kernel_size,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x, train=train)
+        return x
+
+
+class AggregationBlock(nn.Module):
+    """Upscale ``x2`` (transposed conv + BN + ReLU), add ``x1``, refine
+    (``blocks/__init__.py::AggregationBlock``)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[int, int]
+    num_blocks: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1: Array, x2: Array, *, train: bool) -> Array:
+        y = TorchConvTranspose(
+            self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x2)
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(y)
+        y = nn.relu(y.astype(self.dtype))
+        y = x1 + y
+        return ResidualBlock(
+            self.features,
+            num_blocks=self.num_blocks,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(y, train=train)

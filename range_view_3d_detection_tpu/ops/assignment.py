@@ -1,0 +1,152 @@
+"""IoU/affinity-aware classification targets.
+
+Re-design of ``src/torchbox3d/math/ops/assignment.py`` (76-180). The
+reference decodes predictions/targets then loops in Python over images and
+instances, calling a CUDA rotated-IoU per instance. Observation: both the
+GAUSSIAN affinity and the BEV (aligned, pairwise) IoU affinity are computed
+between the decoded *prediction* and decoded *target* at the SAME pixel —
+with the default ``k = inf`` and ``normalize_affinities = false`` (the
+baseline config, ``conf/model/baseline.yaml:44-46``) the whole computation
+is pointwise over pixels and needs no per-instance grouping at all.
+
+For finite ``k`` (keep only the top-k pixels of each instance) and for
+``normalize_affinities`` we use segment ops over the winner-index image.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from range_view_3d_detection_tpu.ops import coding
+from range_view_3d_detection_tpu.ops.iou import iou_rotated_bev_aligned
+
+
+class ClassificationTargets(NamedTuple):
+    affinities: Array  # (B, H, W, C) soft targets
+    foreground_mask: Array  # (B, H, W) bool
+    background_mask: Array  # (B, H, W) bool
+    regression_weights: Array  # (B, H, W) bool
+
+
+def gaussian_affinity(pred_boxes: Array, target_boxes: Array, sigma: float) -> Array:
+    """``exp(-||dctr|| / sigma^2)`` pairwise affinity (``assignment.py:153-161``)."""
+    d = jnp.linalg.norm(pred_boxes[..., :3] - target_boxes[..., :3], axis=-1)
+    return jnp.exp(-d / (sigma**2))
+
+
+def bev_affinity(pred_boxes: Array, target_boxes: Array) -> Array:
+    """Aligned rotated-BEV IoU affinity (``assignment.py::iou_2d_axis_aligned``)."""
+    return iou_rotated_bev_aligned(pred_boxes, target_boxes)
+
+
+def compute_classification_targets(
+    regressands: Array,
+    regression_targets: Array,
+    labels: Array,
+    winner_index: Array,
+    cart: Array,
+    pixel_valid: Array,
+    *,
+    num_categories: int,
+    affinity_fn: str = "GAUSSIAN",
+    sigma: float = 1.0,
+    k: float = float("inf"),
+    normalize_affinities: bool = False,
+    azimuth_invariant: bool = True,
+    max_boxes: int = 0,
+) -> ClassificationTargets:
+    """Soft classification targets from decoded prediction/target affinity.
+
+    Args:
+        regressands: ``(B, H, W, 8)`` raw head output. Gradients are stopped
+            here (parity with ``input.detach()``, ``assignment.py:91``).
+        regression_targets: ``(B, H, W, 8)`` encoded targets.
+        labels: ``(B, H, W)`` int32 category offsets (``num_categories`` = bg).
+        winner_index: ``(B, H, W)`` int32 instance (box) index, -1 = none.
+        cart: ``(B, H, W, 3)``.
+        pixel_valid: ``(B, H, W)`` bool.
+        k: keep top-k pixels per instance (inf keeps all; reference default).
+        max_boxes: K of the padded box set; needed only for finite-k /
+            normalization segment ops.
+    """
+    regressands = jax.lax.stop_gradient(regressands)
+
+    pred = coding.decode_boxes(regressands, cart, azimuth_invariant=True)
+    tgt = coding.decode_boxes(
+        regression_targets, cart, azimuth_invariant=azimuth_invariant
+    )
+
+    name = affinity_fn.upper()
+    if name == "GAUSSIAN":
+        aff = gaussian_affinity(pred, tgt, sigma)
+    elif name == "BEV":
+        aff = bev_affinity(pred, tgt)
+    else:
+        raise NotImplementedError(f"affinity_fn={affinity_fn}")
+
+    fg_instance = winner_index >= 0
+    aff = jnp.where(fg_instance, aff, 0.0)
+
+    if normalize_affinities or jnp.isfinite(k):
+        if max_boxes <= 0:
+            raise ValueError("max_boxes required for finite-k / normalization")
+        aff = _per_instance_postprocess(
+            aff, winner_index, k=k, normalize=normalize_affinities,
+            max_boxes=max_boxes,
+        )
+
+    # Mirror assignment.py:142-150.
+    onehot = jax.nn.one_hot(labels, num_categories + 1, dtype=aff.dtype)[..., :-1]
+    affinities = aff[..., None] * onehot
+    foreground_mask = aff > 0.0
+    background_mask = (~foreground_mask) & pixel_valid
+    regression_weights = onehot.sum(axis=-1) > 0.0
+
+    return ClassificationTargets(
+        affinities=affinities,
+        foreground_mask=foreground_mask,
+        background_mask=background_mask,
+        regression_weights=regression_weights,
+    )
+
+
+def _per_instance_postprocess(
+    aff: Array, winner_index: Array, *, k: float, normalize: bool, max_boxes: int
+) -> Array:
+    """Per-instance top-k gating and/or max-normalization via segment ops."""
+
+    def one(aff_i: Array, win_i: Array) -> Array:
+        flat_aff = aff_i.reshape(-1)
+        flat_win = win_i.reshape(-1)
+        seg = jnp.where(flat_win >= 0, flat_win, max_boxes)  # pad segment
+
+        if normalize:
+            seg_max = jax.ops.segment_max(flat_aff, seg, num_segments=max_boxes + 1)
+            denom = jnp.maximum(seg_max[seg], 1e-8)
+            flat_aff = flat_aff / denom
+
+        if jnp.isfinite(k):
+            kk = int(k)
+            # Rank of each pixel within its instance by affinity (descending):
+            # count strictly-greater peers (ties broken by flat index).
+            order = jnp.lexsort((jnp.arange(flat_aff.shape[0]), -flat_aff, seg))
+            ranks = jnp.zeros_like(seg)
+            pos = jnp.arange(seg.shape[0])
+            seg_sorted = seg[order]
+            start_of_seg = jnp.concatenate(
+                [jnp.array([0]), jnp.cumsum(seg_sorted[:-1] != seg_sorted[1:])]
+            )
+            # position within segment = pos - first pos of that segment value
+            first_pos = jax.ops.segment_min(pos, seg_sorted, num_segments=max_boxes + 1)
+            within = pos - first_pos[seg_sorted]
+            ranks = ranks.at[order].set(within)
+            del start_of_seg
+            flat_aff = jnp.where(ranks < kk, flat_aff, 0.0)
+
+        return flat_aff.reshape(aff_i.shape)
+
+    return jax.vmap(one)(aff, winner_index)

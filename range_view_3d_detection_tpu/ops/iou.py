@@ -1,0 +1,227 @@
+"""Rotated-BEV IoU, vectorized for TPU.
+
+Replaces the reference's CUDA extensions (mmcv ``box_iou_rotated`` used in
+``math/ops/assignment.py:8,24`` / ``math/ops/iou.py:4,15`` and the rotated
+overlap inside detectron2/TorchEx NMS kernels). Those kernels run a
+sequential Sutherland–Hodgman clip per pair; on TPU we instead enumerate a
+*static* candidate set for the convex intersection polygon:
+
+    4 corners of A inside B  +  4 corners of B inside A
+    +  16 edge-pair intersection points            -> 24 masked candidates
+
+then sort them by angle about their centroid and apply the shoelace formula.
+All shapes are static, so the whole thing vmaps over millions of pairs and
+compiles to pure VPU code.
+
+3D IoU (BEV x vertical overlap) mirrors ``math/ops/iou.py:11-47`` /
+``assignment.py::iou_3d_axis_aligned``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+_EPS = 1e-8
+
+
+def box_corners_bev(boxes: Array) -> Array:
+    """``(..., 5)`` (x, y, l, w, yaw) -> CCW corners ``(..., 4, 2)``."""
+    x, y, l, w, yaw = (
+        boxes[..., 0],
+        boxes[..., 1],
+        boxes[..., 2],
+        boxes[..., 3],
+        boxes[..., 4],
+    )
+    cos, sin = jnp.cos(yaw), jnp.sin(yaw)
+    # Local corners, CCW order.
+    lx = jnp.stack([l, l, -l, -l], axis=-1) * 0.5
+    ly = jnp.stack([-w, w, w, -w], axis=-1) * 0.5
+    cx = cos[..., None] * lx - sin[..., None] * ly + x[..., None]
+    cy = sin[..., None] * lx + cos[..., None] * ly + y[..., None]
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def _points_in_rect(pts: Array, rect: Array) -> Array:
+    """``pts (..., N, 2)`` inside rotated rect ``(..., 5)`` -> ``(..., N)`` bool."""
+    x, y, l, w, yaw = (
+        rect[..., 0],
+        rect[..., 1],
+        rect[..., 2],
+        rect[..., 3],
+        rect[..., 4],
+    )
+    cos, sin = jnp.cos(yaw), jnp.sin(yaw)
+    dx = pts[..., 0] - x[..., None]
+    dy = pts[..., 1] - y[..., None]
+    px = cos[..., None] * dx + sin[..., None] * dy
+    py = -sin[..., None] * dx + cos[..., None] * dy
+    eps = 1e-5
+    return (jnp.abs(px) <= l[..., None] * 0.5 + eps) & (
+        jnp.abs(py) <= w[..., None] * 0.5 + eps
+    )
+
+
+def _cross(o, a, b):
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def _edge_intersections(ca: Array, cb: Array):
+    """All 16 intersection points between edges of two quads.
+
+    Args:
+        ca, cb: ``(..., 4, 2)`` corners.
+
+    Returns:
+        points ``(..., 16, 2)``, valid ``(..., 16)``.
+    """
+    a1 = ca  # (..., 4, 2)
+    a2 = jnp.roll(ca, -1, axis=-2)
+    b1 = cb
+    b2 = jnp.roll(cb, -1, axis=-2)
+
+    # Broadcast edge pairs: A edges i, B edges j -> (..., 4, 4, 2).
+    a1e = a1[..., :, None, :]
+    a2e = a2[..., :, None, :]
+    b1e = b1[..., None, :, :]
+    b2e = b2[..., None, :, :]
+
+    d1 = a2e - a1e
+    d2 = b2e - b1e
+    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    rel = b1e - a1e
+    t = (rel[..., 0] * d2[..., 1] - rel[..., 1] * d2[..., 0]) / jnp.where(
+        jnp.abs(denom) > _EPS, denom, 1.0
+    )
+    u = (rel[..., 0] * d1[..., 1] - rel[..., 1] * d1[..., 0]) / jnp.where(
+        jnp.abs(denom) > _EPS, denom, 1.0
+    )
+    valid = (
+        (jnp.abs(denom) > _EPS)
+        & (t >= -1e-6)
+        & (t <= 1.0 + 1e-6)
+        & (u >= -1e-6)
+        & (u <= 1.0 + 1e-6)
+    )
+    pts = a1e + t[..., None] * d1
+    shape = pts.shape[:-3] + (16, 2)
+    return pts.reshape(shape), valid.reshape(shape[:-1])
+
+
+def rotated_rect_intersection_area(boxes_a: Array, boxes_b: Array) -> Array:
+    """Intersection area of rotated rects ``(..., 5)`` (x, y, l, w, yaw)."""
+    ca = box_corners_bev(boxes_a)
+    cb = box_corners_bev(boxes_b)
+
+    a_in_b = _points_in_rect(ca, boxes_b)  # (..., 4)
+    b_in_a = _points_in_rect(cb, boxes_a)
+    inter_pts, inter_valid = _edge_intersections(ca, cb)
+
+    pts = jnp.concatenate([ca, cb, inter_pts], axis=-2)  # (..., 24, 2)
+    valid = jnp.concatenate([a_in_b, b_in_a, inter_valid], axis=-1)  # (..., 24)
+
+    count = valid.sum(axis=-1, keepdims=True)  # (..., 1)
+    vf = valid[..., None].astype(pts.dtype)
+    centroid = (pts * vf).sum(axis=-2, keepdims=True) / jnp.maximum(
+        count[..., None], 1
+    ).astype(pts.dtype)
+
+    rel = pts - centroid
+    angle = jnp.arctan2(rel[..., 1], rel[..., 0])
+    angle = jnp.where(valid, angle, 1e9)  # invalid sort last
+
+    order = jnp.argsort(angle, axis=-1)
+    sorted_pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
+
+    # Replace trailing (invalid) slots with the first valid point so the
+    # cyclic shoelace closes correctly and degenerate edges contribute 0.
+    idx = jnp.arange(24)
+    first = sorted_pts[..., 0:1, :]
+    keep = (idx < count)[..., None]
+    poly = jnp.where(keep, sorted_pts, first)
+
+    nxt = jnp.roll(poly, -1, axis=-2)
+    area2 = (
+        poly[..., 0] * nxt[..., 1] - nxt[..., 0] * poly[..., 1]
+    ).sum(axis=-1)
+    area = 0.5 * jnp.abs(area2)
+    return jnp.where(count[..., 0] >= 3, area, 0.0)
+
+
+def iou_rotated_bev(boxes_a: Array, boxes_b: Array) -> Array:
+    """Pairwise rotated-BEV IoU matrix.
+
+    Args:
+        boxes_a: ``(N, 5)`` (x, y, l, w, yaw).
+        boxes_b: ``(M, 5)``.
+
+    Returns:
+        ``(N, M)`` IoU in [0, 1].
+    """
+    a = boxes_a[:, None, :]
+    b = boxes_b[None, :, :]
+    inter = rotated_rect_intersection_area(a, b)
+    area_a = boxes_a[:, 2] * boxes_a[:, 3]
+    area_b = boxes_b[:, 2] * boxes_b[:, 3]
+    union = area_a[:, None] + area_b[None, :] - inter
+    iou = inter / jnp.maximum(union, _EPS)
+    return jnp.clip(jnp.nan_to_num(iou), 0.0, 1.0)
+
+
+def _bev5(cuboids: Array) -> Array:
+    """(..., 7+) cuboid -> (..., 5) BEV (x, y, l, w, yaw); cols 0,1,3,4,6
+    (``assignment.py::XYLWA_INDICES``)."""
+    return jnp.stack(
+        [
+            cuboids[..., 0],
+            cuboids[..., 1],
+            cuboids[..., 3],
+            cuboids[..., 4],
+            cuboids[..., 6],
+        ],
+        axis=-1,
+    )
+
+
+def iou_rotated_bev_aligned(cuboids_a: Array, cuboids_b: Array) -> Array:
+    """Elementwise (aligned) rotated-BEV IoU for cuboid pairs ``(..., 7)``."""
+    a = _bev5(cuboids_a)
+    b = _bev5(cuboids_b)
+    inter = rotated_rect_intersection_area(a, b)
+    union = a[..., 2] * a[..., 3] + b[..., 2] * b[..., 3] - inter
+    iou = inter / jnp.maximum(union, _EPS)
+    return jnp.clip(jnp.nan_to_num(iou), 0.0, 1.0)
+
+
+def iou_3d_aligned(cuboids_a: Array, cuboids_b: Array) -> Array:
+    """Elementwise 3D IoU: rotated-BEV overlap x vertical overlap.
+
+    Mirrors ``assignment.py::iou_3d_axis_aligned`` (20-73) /
+    ``math/ops/iou.py:11-47``: BEV IoU is converted back to a BEV overlap
+    area, multiplied by the vertical intersection, and normalized by the
+    volume union.
+    """
+    iou_bev = iou_rotated_bev_aligned(cuboids_a, cuboids_b)
+    area_a = cuboids_a[..., 3] * cuboids_a[..., 4]
+    area_b = cuboids_b[..., 3] * cuboids_b[..., 4]
+    overlaps_bev = iou_bev * (area_a + area_b) / (1.0 + iou_bev)
+
+    top = jnp.minimum(
+        cuboids_a[..., 2] + cuboids_a[..., 5] * 0.5,
+        cuboids_b[..., 2] + cuboids_b[..., 5] * 0.5,
+    )
+    btm = jnp.maximum(
+        cuboids_a[..., 2] - cuboids_a[..., 5] * 0.5,
+        cuboids_b[..., 2] - cuboids_b[..., 5] * 0.5,
+    )
+    overlap_h = jnp.maximum(top - btm, 0.0)
+    inter_3d = overlaps_bev * overlap_h
+
+    vol_a = cuboids_a[..., 3] * cuboids_a[..., 4] * cuboids_a[..., 5]
+    vol_b = cuboids_b[..., 3] * cuboids_b[..., 4] * cuboids_b[..., 5]
+    iou = inter_3d / jnp.maximum(vol_a + vol_b - inter_3d, _EPS)
+    return jnp.clip(jnp.nan_to_num(iou), 0.0, 1.0)
