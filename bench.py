@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""End-to-end single-chip benchmark: forward + decode + weighted NMS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Mirrors the semantics of the reference ``tools/benchmark.py`` (batch-1,
+staged timing with device-sync walls, FPS after warmup) on the rv-av2
+flagship shapes (64 x 1808 x 5). Baseline (BASELINE.json north star):
+2000 frames/sec/chip end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import numpy as np
+
+BASELINE_FPS = 2000.0
+
+
+def main() -> None:
+    from __graft_entry__ import _flagship_config, _sample_inputs
+    from range_view_3d_detection_tpu.models.decoder import DecoderConfig, decode
+    from range_view_3d_detection_tpu.models.detector import Detector
+
+    cfg = _flagship_config()
+    dec_cfg = DecoderConfig(nms_cap=1024)
+    model = Detector(cfg)
+    batch = 1
+    feats, cart, mask = _sample_inputs(batch, 64, 1808, 5)
+    variables = model.init(jax.random.PRNGKey(0), feats, cart, mask, train=False)
+    tasks = cfg.tasks_dict
+
+    @jax.jit
+    def pipeline(variables, feats, cart, mask):
+        out = model.apply(variables, feats, cart, mask, train=False)
+        return decode(out, dec_cfg, tasks, use_nms=True)
+
+    # Warmup / compile.
+    for _ in range(5):
+        res = pipeline(variables, feats, cart, mask)
+        jax.block_until_ready(res)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = pipeline(variables, feats, cart, mask)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,369 @@
+"""Dataset index + per-sweep loading + fixed-shape batching.
+
+Capability parity with ``src/torchbox3d/prototype/loader.py`` (DataModule
+138-233, DataLoader 254-822, ``subsample_range_view`` 792-815,
+``_collate_fn`` 236-251) — re-designed:
+
+- pyarrow feather instead of polars; sweeps decode straight into
+  ``(H, W, C)`` numpy (the reference's ``_npy_to_tch`` transpose hot path).
+- Annotations become a padded ``(K, 7)`` box tensor + valid/task/offset
+  vectors (static device shapes) while the relational form (uuids,
+  categories) stays host-side for evaluation.
+- Collation stacks numpy; device placement happens in the train loop.
+
+On-disk layout is byte-compatible with the reference converters:
+``root/split/log_id/sensors/range_view/<timestamp>.feather`` +
+``root/split/log_id/annotations.feather``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from range_view_3d_detection_tpu.data import augmentations as augs
+from range_view_3d_detection_tpu.utils.feather import read_feather
+
+logger = logging.getLogger(__name__)
+
+AV2_FEATURES = ("intensity", "range", "x", "y", "z")
+WAYMO_FEATURES = ("elongation", "intensity", "range", "x", "y", "z")
+
+CUBOID_COLUMNS = (
+    "tx_m",
+    "ty_m",
+    "tz_m",
+    "length_m",
+    "width_m",
+    "height_m",
+)
+
+
+def quat_to_yaw_np(qw, qx, qy, qz):
+    return np.arctan2(2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz))
+
+
+@dataclasses.dataclass
+class RangeViewConfig:
+    height: int = 64
+    width: int = 1800
+    feature_column_names: Tuple[str, ...] = AV2_FEATURES
+    filter_roi: bool = False
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    root_dir: str
+    dataset_name: str = "av2"  # av2 | waymo | nuscenes
+    split_name: str = "train"
+    range_view: RangeViewConfig = dataclasses.field(default_factory=RangeViewConfig)
+    tasks: Dict[int, Sequence[str]] = dataclasses.field(
+        default_factory=lambda: {0: ("REGULAR_VEHICLE",)}
+    )
+    max_boxes: int = 256
+    subsampling_rate: int = 1
+    x_stride: int = 1
+    padding_mode: str = "constant"  # constant | circular
+    augmentations: Optional[Dict[str, Dict[str, float]]] = None
+    use_repeat_factor_sampling: bool = False
+    min_points_filter: int = 0  # Waymo <50k-point sweep filter analog
+    seed: int = 0
+
+
+def width_padding(dataset_name: str, x_stride: int) -> int:
+    """Per-side column padding so padded W / x_stride is divisible by 16
+    (``subsample_range_view``, loader.py:792-815)."""
+    if dataset_name == "waymo":
+        return 19 if x_stride == 4 else 3
+    return 28 if x_stride == 4 else 4
+
+
+class RangeViewDataset:
+    """Index of (log_id, timestamp) sweeps + per-sweep loading."""
+
+    def __init__(self, cfg: DatasetConfig):
+        self.cfg = cfg
+        self.split_dir = Path(cfg.root_dir) / cfg.split_name
+        self._category_map = self._build_category_map()
+        self.index = self._build_index()
+        self._filter_train_index()
+        if cfg.use_repeat_factor_sampling and cfg.split_name == "train":
+            self.index = self._repeat_factor_sample(self.index)
+        self.index = self.index[:: max(cfg.subsampling_rate, 1)]
+
+    # -- index ------------------------------------------------------------
+
+    def _build_category_map(self) -> Dict[str, Tuple[int, int]]:
+        """category -> (task_id, offset); offsets over sorted task categories
+        (``loader.py:558-566``)."""
+        out: Dict[str, Tuple[int, int]] = {}
+        for task_id, cats in self.cfg.tasks.items():
+            for offset, cat in enumerate(sorted(cats)):
+                out[cat] = (int(task_id), offset)
+        return out
+
+    def _build_index(self) -> List[Tuple[str, int]]:
+        index: List[Tuple[str, int]] = []
+        for log_path in sorted(self.split_dir.glob("*")):
+            sweep_dir = log_path / "sensors" / "range_view"
+            if not sweep_dir.is_dir():
+                continue
+            for sweep_path in sorted(sweep_dir.glob("*.feather")):
+                index.append((log_path.stem, int(sweep_path.stem)))
+        return index
+
+    def _filter_train_index(self) -> None:
+        """Drop train sweeps without objects of interest
+        (``loader.py:331-344``) and low-point sweeps (``:350-358``)."""
+        if self.cfg.split_name != "train":
+            return
+        keep: List[Tuple[str, int]] = []
+        for log_id, ts in self.index:
+            ann = self._load_annotations(log_id, ts)
+            if len(ann["category"]) > 0:
+                keep.append((log_id, ts))
+        self.index = keep
+
+    def _repeat_factor_sample(
+        self, index: List[Tuple[str, int]]
+    ) -> List[Tuple[str, int]]:
+        """Repeat-factor sampling (``loader.py:369-457``): oversample sweeps
+        containing rare categories with factor max(1, sqrt(t / f_c))."""
+        t = 0.01
+        cat_presence: Dict[str, int] = {}
+        per_sweep_cats: List[set] = []
+        for log_id, ts in index:
+            ann = self._load_annotations(log_id, ts)
+            cats = set(np.unique(ann["category"]).tolist())
+            per_sweep_cats.append(cats)
+            for c in cats:
+                cat_presence[c] = cat_presence.get(c, 0) + 1
+        total = sum(cat_presence.values())
+        r_c = {
+            c: max(1.0, np.sqrt(t / (n / total))) for c, n in cat_presence.items()
+        }
+        rng = np.random.default_rng(0)
+        out: List[Tuple[str, int]] = []
+        for (log_id, ts), cats in zip(index, per_sweep_cats):
+            r = max((r_c[c] for c in cats), default=1.0)
+            reps = int(r) + int(rng.uniform() < (r - int(r)))
+            out.extend([(log_id, ts)] * max(reps, 1))
+        return out
+
+    # -- per-sweep loading -------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def annotations_path(self, log_id: str) -> Path:
+        return self.split_dir / log_id / "annotations.feather"
+
+    def sweep_path(self, log_id: str, timestamp_ns: int) -> Path:
+        return (
+            self.split_dir
+            / log_id
+            / "sensors"
+            / "range_view"
+            / f"{timestamp_ns}.feather"
+        )
+
+    def _load_annotations(self, log_id: str, timestamp_ns: int):
+        ann = read_feather(self.annotations_path(log_id))
+        m = (
+            (ann["timestamp_ns"].astype(np.int64) == timestamp_ns)
+            & (ann["num_interior_pts"] > 0)
+            & np.isin(ann["category"], list(self._category_map))
+        )
+        return {k: v[m] for k, v in ann.items()}
+
+    def load_sweep(self, log_id: str, timestamp_ns: int) -> augs.Sweep:
+        cols = read_feather(self.sweep_path(log_id, timestamp_ns))
+        h, w = self.cfg.range_view.height, self.cfg.range_view.width
+
+        def img(name):
+            return cols[name].astype(np.float32).reshape(h, w)
+
+        if self.cfg.range_view.filter_roi and "is_within_roi" in cols:
+            roi = cols["is_within_roi"].astype(np.float32).reshape(h, w)
+        else:
+            roi = None
+
+        feature_names = self.cfg.range_view.feature_column_names
+        feats = np.stack([img(n) for n in feature_names], axis=-1)
+        cart = np.stack([img("x"), img("y"), img("z")], axis=-1)
+        rng_img = img("range")
+        if roi is not None:
+            feats *= roi[..., None]
+            cart *= roi[..., None]
+            rng_img *= roi
+
+        if self.cfg.dataset_name == "waymo" and "intensity" in feature_names:
+            i = feature_names.index("intensity")
+            feats[..., i] = np.tanh(feats[..., i])
+        if "timedelta_ns" in feature_names:
+            i = feature_names.index("timedelta_ns")
+            feats[..., i] = feats[..., i] * 1e-9
+
+        return {
+            "features": feats,
+            "cart": cart,
+            "range": rng_img,
+            "mask": rng_img > 0.0,
+        }
+
+    def _boxes_from_annotations(self, ann) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n = len(ann["category"])
+        boxes = np.zeros((n, 7), np.float32)
+        for i, c in enumerate(CUBOID_COLUMNS):
+            boxes[:, i] = ann[c].astype(np.float32)
+        boxes[:, 6] = quat_to_yaw_np(
+            ann["qw"].astype(np.float64),
+            ann["qx"].astype(np.float64),
+            ann["qy"].astype(np.float64),
+            ann["qz"].astype(np.float64),
+        ).astype(np.float32)
+        tasks = np.zeros(n, np.int32)
+        offsets = np.zeros(n, np.int32)
+        for i, cat in enumerate(ann["category"]):
+            t, o = self._category_map[str(cat)]
+            tasks[i] = t
+            offsets[i] = o
+        # Sort by (task, offset) for parity with loader.py:699-704.
+        order = np.lexsort((offsets, tasks))
+        return boxes[order], tasks[order], offsets[order]
+
+    def _feature_cart_slices(self):
+        names = list(self.cfg.range_view.feature_column_names)
+        slices = []
+        if all(n in names for n in ("x", "y", "z")):
+            i = names.index("x")
+            if names[i : i + 3] == ["x", "y", "z"]:
+                slices.append(slice(i, i + 3))
+        return tuple(slices)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        log_id, ts = self.index[idx]
+        sweep = self.load_sweep(log_id, ts)
+        ann = self._load_annotations(log_id, ts)
+        boxes, box_task, box_offset = self._boxes_from_annotations(ann)
+
+        if self.cfg.split_name == "train" and self.cfg.augmentations:
+            names = list(self.cfg.range_view.feature_column_names)
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.cfg.seed, idx])
+            )
+            sweep, boxes = augs.apply_augmentations(
+                sweep,
+                boxes,
+                self.cfg.augmentations,
+                rng,
+                feature_cart_slices=self._feature_cart_slices(),
+                range_feature_index=(
+                    names.index("range") if "range" in names else None
+                ),
+            )
+
+        features, cart, mask = self._pad_and_stride(sweep)
+
+        K = self.cfg.max_boxes
+        n = min(len(boxes), K)
+        pad_boxes = np.zeros((K, 7), np.float32)
+        pad_valid = np.zeros((K,), bool)
+        pad_task = np.zeros((K,), np.int32)
+        pad_offset = np.zeros((K,), np.int32)
+        pad_boxes[:n] = boxes[:n]
+        pad_valid[:n] = True
+        pad_task[:n] = box_task[:n]
+        pad_offset[:n] = box_offset[:n]
+
+        return {
+            "features": features,
+            "cart": cart,
+            "mask": mask,
+            "boxes": pad_boxes,
+            "box_valid": pad_valid,
+            "box_task": pad_task,
+            "box_offset": pad_offset,
+            "log_id": log_id,
+            "timestamp_ns": ts,
+            "num_boxes": n,
+        }
+
+    def _pad_and_stride(self, sweep: augs.Sweep):
+        """Width pad + column decimation (``subsample_range_view``)."""
+        pad = width_padding(self.cfg.dataset_name, self.cfg.x_stride)
+        mode = "wrap" if self.cfg.padding_mode == "circular" else "constant"
+        feats = sweep["features"] * sweep["mask"][..., None]
+        spec = ((0, 0), (pad, pad), (0, 0))
+
+        feats = np.pad(feats, spec, mode=mode)[:, :: self.cfg.x_stride]
+        cart = np.pad(sweep["cart"], spec, mode=mode)[:, :: self.cfg.x_stride]
+        mask = np.pad(sweep["mask"], spec[:2], mode=mode)[:, :: self.cfg.x_stride]
+        return feats.astype(np.float32), cart.astype(np.float32), mask
+
+
+def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack numpy samples into a fixed-shape batch (``_collate_fn``)."""
+    batch: Dict[str, np.ndarray] = {}
+    tensor_keys = (
+        "features",
+        "cart",
+        "mask",
+        "boxes",
+        "box_valid",
+        "box_task",
+        "box_offset",
+    )
+    for k in tensor_keys:
+        batch[k] = np.stack([s[k] for s in samples])
+    batch["uuids"] = [(s["log_id"], s["timestamp_ns"]) for s in samples]
+    return batch
+
+
+class DataLoader:
+    """Minimal epoch iterator with shuffling and fixed batch size.
+
+    (The reference wraps torch DataLoader with 6 workers/rank; this host
+    pipeline is single-process for now — the C++ decode path and thread
+    prefetch land with the native IO milestone.)
+    """
+
+    def __init__(
+        self,
+        dataset: RangeViewDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    return
+                idx = np.concatenate([idx, order[: self.batch_size - len(idx)]])
+            yield collate([self.dataset[int(i)] for i in idx])

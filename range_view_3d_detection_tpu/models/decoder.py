@@ -1,0 +1,143 @@
+"""Inference decoding: per-pixel boxes -> range-subsampled proposals -> NMS.
+
+Capability parity with ``src/torchbox3d/nn/decoders/range_decoder.py``
+(RangeDecoder 20-124, ``sample_by_range`` 127-156) — static-shape JAX:
+band masks zero out scores instead of dynamic gathers, and the
+concatenated proposal set has a fixed length per (H, W, rates).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from range_view_3d_detection_tpu.ops import coding
+from range_view_3d_detection_tpu.ops.nms import NMSResult, batched_multiclass_nms
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Mirror of ``conf/model/range_view.yaml`` ``_decoder`` +
+    ``post_processing_config``."""
+
+    enable_azimuth_invariant_targets: bool = True
+    enable_sample_by_range: bool = True
+    lower_bounds: Tuple[float, ...] = (0.0, 15.0, 30.0)
+    upper_bounds: Tuple[float, ...] = (15.0, 30.0, float("inf"))
+    subsampling_rates: Tuple[int, ...] = (8, 2, 1)
+    num_pre_nms: int = 50000
+    num_post_nms: int = 1000
+    nms_threshold: float = 0.3
+    min_confidence: float = 0.1
+    nms_mode: str = "WEIGHTED"
+    nms_cap: int = 2048  # static on-device proposal budget (TPU re-design)
+
+
+class Proposals(NamedTuple):
+    cuboids: Array  # (B, N, 7)
+    scores: Array  # (B, N)
+    categories: Array  # (B, N) int32
+
+
+def sample_by_range(
+    scores: Array,
+    categories: Array,
+    cuboids: Array,
+    cart: Array,
+    cfg: DecoderConfig,
+) -> Proposals:
+    """Range-banded column subsampling (``range_decoder.py:127-156``).
+
+    Proposals in band i keep every ``rates[i]``-th column; out-of-band
+    proposals get score 0 (equivalent to the reference's score masking).
+    """
+    dists = jnp.linalg.norm(cart, axis=-1)  # (B, H, W)
+    parts_s, parts_c, parts_b = [], [], []
+    for lo, hi, rate in zip(
+        cfg.lower_bounds, cfg.upper_bounds, cfg.subsampling_rates
+    ):
+        band = (dists > lo) & (dists <= hi)
+        s = (scores * band)[:, :, ::rate]
+        parts_s.append(s.reshape(s.shape[0], -1))
+        c = categories[:, :, ::rate]
+        parts_c.append(c.reshape(c.shape[0], -1))
+        b = cuboids[:, :, ::rate]
+        parts_b.append(b.reshape(b.shape[0], -1, b.shape[-1]))
+    return Proposals(
+        cuboids=jnp.concatenate(parts_b, axis=1),
+        scores=jnp.concatenate(parts_s, axis=1),
+        categories=jnp.concatenate(parts_c, axis=1),
+    )
+
+
+def decode(
+    outputs: Dict[str, Any],
+    cfg: DecoderConfig,
+    tasks: Dict[int, Tuple[str, ...]],
+    *,
+    use_nms: bool = True,
+) -> NMSResult | Proposals:
+    """Decode head outputs into detections (``RangeDecoder.decode``, 29-124).
+
+    Args:
+        outputs: the Detector forward dict (``head`` + ``strided``).
+        tasks: ``{task_id: categories}`` — category indices are offset by
+            preceding tasks' sizes (``range_decoder.py:84-86``).
+
+    Returns:
+        ``NMSResult`` (fixed ``nms_cap`` slots/batch with keep masks) when
+        ``use_nms``; otherwise raw ``Proposals`` (callers threshold by
+        ``min_confidence`` — ``range_decoder.py:109-120``).
+    """
+    all_parts: list[Proposals] = []
+    for stride, head_s in outputs["head"].items():
+        cart = outputs["strided"][stride]["cart"]
+        mask = outputs["strided"][stride]["mask"]
+        task_offset = 0
+        for task_id, cats in tasks.items():
+            out = head_s[task_id]
+            probs = jax.nn.sigmoid(out["logits"]) * mask[..., None]
+            scores = probs.max(axis=-1)
+            categories = probs.argmax(axis=-1).astype(jnp.int32)
+
+            cuboids = coding.decode_boxes(
+                out["regressands"],
+                cart,
+                azimuth_invariant=cfg.enable_azimuth_invariant_targets,
+            )
+
+            if cfg.enable_sample_by_range:
+                part = sample_by_range(scores, categories, cuboids, cart, cfg)
+            else:
+                B = scores.shape[0]
+                part = Proposals(
+                    cuboids=cuboids.reshape(B, -1, 7),
+                    scores=scores.reshape(B, -1),
+                    categories=categories.reshape(B, -1),
+                )
+            part = part._replace(categories=part.categories + task_offset)
+            task_offset += len(cats)
+            all_parts.append(part)
+
+    proposals = Proposals(
+        cuboids=jnp.concatenate([p.cuboids for p in all_parts], axis=1),
+        scores=jnp.concatenate([p.scores for p in all_parts], axis=1),
+        categories=jnp.concatenate([p.categories for p in all_parts], axis=1),
+    )
+
+    if not use_nms:
+        return proposals
+
+    return batched_multiclass_nms(
+        proposals.cuboids,
+        proposals.scores,
+        proposals.categories,
+        cap=min(cfg.nms_cap, proposals.scores.shape[1]),
+        iou_threshold=cfg.nms_threshold,
+        min_confidence=cfg.min_confidence,
+        mode=cfg.nms_mode,
+    )

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -91,7 +93,7 @@ def compute_classification_targets(
     fg_instance = winner_index >= 0
     aff = jnp.where(fg_instance, aff, 0.0)
 
-    if normalize_affinities or jnp.isfinite(k):
+    if normalize_affinities or math.isfinite(k):
         if max_boxes <= 0:
             raise ValueError("max_boxes required for finite-k / normalization")
         aff = _per_instance_postprocess(
@@ -129,7 +131,7 @@ def _per_instance_postprocess(
             denom = jnp.maximum(seg_max[seg], 1e-8)
             flat_aff = flat_aff / denom
 
-        if jnp.isfinite(k):
+        if math.isfinite(k):
             kk = int(k)
             # Rank of each pixel within its instance by affinity (descending):
             # count strictly-greater peers (ties broken by flat index).

@@ -121,6 +121,14 @@ def rotated_rect_intersection_area(boxes_a: Array, boxes_b: Array) -> Array:
     b_in_a = _points_in_rect(cb, boxes_a)
     inter_pts, inter_valid = _edge_intersections(ca, cb)
 
+    # Broadcast corner sets to the common batch shape before concatenation
+    # (pairwise matrix callers pass (N, 1, ...) x (1, M, ...)).
+    batch = jnp.broadcast_shapes(ca.shape[:-2], cb.shape[:-2])
+    ca = jnp.broadcast_to(ca, batch + (4, 2))
+    cb = jnp.broadcast_to(cb, batch + (4, 2))
+    a_in_b = jnp.broadcast_to(a_in_b, batch + (4,))
+    b_in_a = jnp.broadcast_to(b_in_a, batch + (4,))
+
     pts = jnp.concatenate([ca, cb, inter_pts], axis=-2)  # (..., 24, 2)
     valid = jnp.concatenate([a_in_b, b_in_a, inter_valid], axis=-1)  # (..., 24)
 

@@ -1,0 +1,186 @@
+"""On-device rotated NMS: HARD and WEIGHTED (score-weighted cluster merging).
+
+Replaces the reference's two CUDA extensions (``math/ops/nms.py:5-6``):
+TorchEx ``weighted_nms_ext.wnms_gpu`` (the SOTA config's WEIGHTED mode,
+``conf/model/baseline.yaml:52``) and detectron2 ``nms_rotated`` (HARD mode).
+
+TPU re-design:
+- Static shapes: proposals are reduced to a fixed ``cap`` by top-k on
+  confidence-masked scores (the reference's dynamic ``min_confidence``
+  filter + 50k pre-NMS topk, ``nms.py:214-219,28-31``).
+- Multi-class in one pass: BEV centers are offset onto a per-category grid
+  far apart so cross-class IoU is exactly 0 — replacing the per-class
+  Python loop (``nms.py:22,81``).
+- Greedy suppression runs block-sequentially: an outer ``fori_loop`` over
+  blocks of rows; inside a block the 64 steps are unrolled straight-line
+  vector ops. IoU rows are computed per block ((block, cap) at a time) from
+  precomputed corners, so no (cap, cap) matrix is materialized.
+
+WEIGHTED semantics (parity with RangeDet-style weighted NMS): visiting boxes
+in descending score order, an unsuppressed box spawns a cluster of all
+still-alive boxes with IoU >= merge threshold (0.5); the output box is the
+score-weighted average of the cluster's (x, y, z, l, w, h, sin, cos, score);
+all alive boxes with IoU > nms threshold are then suppressed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from range_view_3d_detection_tpu.ops import iou as iou_ops
+
+_CLASS_GRID = 8
+_CLASS_SPACING = 2000.0  # meters; far beyond any real box extent
+
+
+class NMSResult(NamedTuple):
+    cuboids: Array  # (cap, 7)
+    scores: Array  # (cap,)
+    categories: Array  # (cap,) int32
+    keep: Array  # (cap,) bool
+
+
+def _class_offset_bev(bev: Array, categories: Array) -> Array:
+    """Push each category onto its own distant patch of the plane."""
+    cat = categories.astype(jnp.float32)
+    dx = jnp.mod(cat, _CLASS_GRID) * _CLASS_SPACING
+    dy = jnp.floor(cat / _CLASS_GRID) * _CLASS_SPACING
+    return bev.at[..., 0].add(dx).at[..., 1].add(dy)
+
+
+def _block_iou(bev_blk: Array, bev_all: Array) -> Array:
+    """Rotated IoU rows between a block of boxes and all boxes."""
+    return iou_ops.iou_rotated_bev(bev_blk, bev_all)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cap",
+        "block",
+        "iou_threshold",
+        "merge_threshold",
+        "min_confidence",
+        "mode",
+    ),
+)
+def multiclass_nms(
+    cuboids: Array,
+    scores: Array,
+    categories: Array,
+    *,
+    cap: int = 2048,
+    block: int = 64,
+    iou_threshold: float = 0.3,
+    merge_threshold: float = 0.5,
+    min_confidence: float = 0.1,
+    mode: str = "WEIGHTED",
+) -> NMSResult:
+    """Single-image multi-class NMS with fixed output size.
+
+    Args:
+        cuboids: ``(N, 7)`` (x, y, z, l, w, h, yaw).
+        scores: ``(N,)``.
+        categories: ``(N,)`` int32.
+        cap: static pre-NMS proposal budget (top-k by score).
+        mode: ``"WEIGHTED"`` or ``"HARD"``.
+
+    Returns:
+        ``NMSResult`` with ``cap`` slots and a ``keep`` mask.
+    """
+    n = scores.shape[0]
+    cap = min(cap, n)
+    valid = scores >= min_confidence
+    masked = jnp.where(valid, scores, -1.0)
+    top_scores, top_idx = jax.lax.top_k(masked, cap)
+    boxes = cuboids[top_idx]
+    cats = categories[top_idx]
+    valid = top_scores >= min_confidence
+
+    bev = jnp.stack(
+        [boxes[:, 0], boxes[:, 1], boxes[:, 3], boxes[:, 4], boxes[:, 6]],
+        axis=-1,
+    )
+    bev = _class_offset_bev(bev, cats)
+
+    # Merge payload: x, y, z, l, w, h, sin(yaw), cos(yaw), score
+    # (weighted_multiclass_nms, nms.py:97-111).
+    payload = jnp.concatenate(
+        [
+            boxes[:, :6],
+            jnp.sin(boxes[:, 6:7]),
+            jnp.cos(boxes[:, 6:7]),
+            top_scores[:, None],
+        ],
+        axis=-1,
+    )
+
+    merge_thr = merge_threshold if mode.upper() == "WEIGHTED" else 1.01
+
+    num_blocks = (cap + block - 1) // block
+
+    def process_block(b, carry):
+        alive, keep, merged = carry
+        start = b * block
+        bev_blk = jax.lax.dynamic_slice_in_dim(bev, start, block, axis=0)
+        v_blk = jax.lax.dynamic_slice_in_dim(valid, start, block, axis=0)
+        iou_rows = _block_iou(bev_blk, bev)  # (block, cap)
+
+        keep_blk = jnp.zeros((block,), bool)
+        merged_blk = jnp.zeros((block, payload.shape[-1]), payload.dtype)
+        for j in range(block):  # unrolled straight-line steps
+            row = iou_rows[j]
+            i = start + j
+            active = alive[i] & v_blk[j]
+            w = top_scores * alive.astype(row.dtype) * (row >= merge_thr)
+            w = jnp.where(jnp.arange(cap) == i, jnp.maximum(w, top_scores[i]), w)
+            wsum = jnp.maximum(w.sum(), 1e-8)
+            m_j = (w[:, None] * payload).sum(axis=0) / wsum
+            keep_blk = keep_blk.at[j].set(active)
+            merged_blk = merged_blk.at[j].set(
+                jnp.where(active, m_j, payload[i])
+            )
+            suppress = row > iou_threshold
+            alive = jnp.where(active, alive & ~suppress, alive)
+
+        keep = jax.lax.dynamic_update_slice_in_dim(keep, keep_blk, start, axis=0)
+        merged = jax.lax.dynamic_update_slice_in_dim(
+            merged, merged_blk, start, axis=0
+        )
+        return alive, keep, merged
+
+    alive0 = valid
+    keep0 = jnp.zeros((cap,), bool)
+    merged0 = jnp.zeros((cap, payload.shape[-1]), payload.dtype)
+    _, keep, merged = jax.lax.fori_loop(
+        0, num_blocks, process_block, (alive0, keep0, merged0)
+    )
+
+    yaw = jnp.arctan2(merged[:, 6], merged[:, 7])
+    out_cuboids = jnp.concatenate([merged[:, :6], yaw[:, None]], axis=-1)
+    out_scores = jnp.where(
+        keep, merged[:, 8] if mode.upper() == "WEIGHTED" else top_scores, 0.0
+    )
+    return NMSResult(
+        cuboids=out_cuboids, scores=out_scores, categories=cats, keep=keep
+    )
+
+
+def batched_multiclass_nms(
+    cuboids: Array,
+    scores: Array,
+    categories: Array,
+    **kwargs,
+) -> NMSResult:
+    """vmap of :func:`multiclass_nms` over the batch (``nms.py:181-266``).
+
+    Returns stacked ``(B, cap, ...)`` results; hosts flatten with batch
+    indices for evaluation.
+    """
+    fn = partial(multiclass_nms, **kwargs)
+    return jax.vmap(fn)(cuboids, scores, categories)

@@ -1,0 +1,118 @@
+"""Spherical projection / z-buffer rasterization.
+
+Capability parity with the reference's numba ``z_buffer``
+(``math/numpy/conversions.py:106-128``) and
+``build_range_view_coordinates`` (9-43): nearest-return-wins scatter of N
+points into an (H, W, C) range image.
+
+Two implementations:
+- :func:`z_buffer_numpy` — host-side (converters, synthetic data); a
+  vectorized sort + unique formulation instead of the reference's
+  sequential numba loop.
+- :func:`z_buffer_jax` — on-device ``segment_min`` formulation used by the
+  end-to-end on-device pipeline (projection -> ... -> NMS), the north-star
+  path of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+MIN_DISTANCE = 1.0  # reference z_buffer min_distance (conversions.py:113)
+
+
+def range_view_coordinates(
+    xyz: np.ndarray,
+    laser_numbers: np.ndarray,
+    *,
+    height: int,
+    width: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Points -> (row, col, range) image coordinates.
+
+    Rows come from the laser index (sensor geometry), columns from azimuth
+    binning over [-pi, pi) — mirroring ``build_range_view_coordinates``.
+    """
+    az = np.arctan2(xyz[:, 1], xyz[:, 0])
+    rng = np.linalg.norm(xyz, axis=-1)
+    col = ((az + np.pi) / (2 * np.pi) * width).astype(np.int64) % width
+    row = np.clip(laser_numbers.astype(np.int64), 0, height - 1)
+    return row, col, rng
+
+
+def z_buffer_numpy(
+    row: np.ndarray,
+    col: np.ndarray,
+    distances: np.ndarray,
+    values: np.ndarray,
+    *,
+    height: int,
+    width: int,
+    min_distance: float = MIN_DISTANCE,
+) -> np.ndarray:
+    """Nearest-return-wins rasterization (host side).
+
+    Args:
+        row/col: (N,) pixel coordinates.
+        distances: (N,) ranges used for the depth test.
+        values: (N, C) per-point features to scatter.
+
+    Returns:
+        (H, W, C) image; empty pixels are zero.
+    """
+    keep = distances >= min_distance
+    row, col, distances, values = (
+        row[keep],
+        col[keep],
+        distances[keep],
+        values[keep],
+    )
+    flat = row * width + col
+    # Sort by (pixel, distance); the first hit per pixel is the nearest.
+    order = np.lexsort((distances, flat))
+    flat_sorted = flat[order]
+    first = np.ones(len(flat_sorted), dtype=bool)
+    first[1:] = flat_sorted[1:] != flat_sorted[:-1]
+    img = np.zeros((height * width, values.shape[1]), dtype=values.dtype)
+    img[flat_sorted[first]] = values[order][first]
+    return img.reshape(height, width, values.shape[1])
+
+
+def z_buffer_jax(
+    row: Array,
+    col: Array,
+    distances: Array,
+    values: Array,
+    *,
+    height: int,
+    width: int,
+    min_distance: float = MIN_DISTANCE,
+) -> Array:
+    """On-device z-buffer via ``segment_min`` over raveled pixel indices.
+
+    Static-shape: invalid points (below ``min_distance``) are routed to a
+    dummy pixel. Winner selection uses a packed (distance, index) key so a
+    single segment_min picks both the depth and the winning point.
+    """
+    n = distances.shape[0]
+    valid = distances >= min_distance
+    flat = jnp.where(valid, row * width + col, height * width)
+
+    # Pack distance and point index into one sortable float64-free key:
+    # quantize distance to 1mm steps (range < 2^22 mm covers 4 km).
+    qdist = jnp.clip((distances * 1000.0).astype(jnp.int64), 0, (1 << 40) - 1)
+    key = qdist * n + jnp.arange(n, dtype=jnp.int64)
+    best = jax.ops.segment_min(
+        key, flat, num_segments=height * width + 1
+    )  # (HW+1,)
+    has = best < jnp.iinfo(jnp.int64).max
+    winner = jnp.where(has, (best % n).astype(jnp.int32), 0)
+    img = jnp.where(
+        has[:, None], values[winner], jnp.zeros_like(values[winner])
+    )
+    return img[: height * width].reshape(height, width, values.shape[1])

@@ -147,12 +147,12 @@ def compute_targets_single(
 
     points_per_obj = jnp.where(has_winner, counts[safe], 0).astype(jnp.int32)
 
-    won_any = jax.ops.segment_max(
+    won_pixels = jax.ops.segment_sum(
         has_winner.reshape(-1).astype(jnp.int32),
         safe.reshape(-1),
         num_segments=K,
     )
-    num_objects = won_any.sum().astype(jnp.int32)
+    num_objects = (won_pixels > 0).sum().astype(jnp.int32)
 
     return StrideTargets(
         labels=labels,

@@ -1,0 +1,62 @@
+"""Device mesh + sharding helpers.
+
+Data parallelism: the global batch is sharded over the ``data`` mesh axis
+(the reference's DDP over NCCL, ``conf/trainer/train.yaml:39-44``);
+parameters/optimizer state are replicated. Gradient all-reduce, sync-BN
+statistics, and ``sync_dist`` loss reductions all fall out of XLA's SPMD
+partitioner — no explicit collectives.
+
+A second (currently size-1) ``model`` axis is laid out for future
+width/tensor sharding of the range image (the natural SP analog discussed
+in SURVEY §5: azimuth-axis sharding with halo exchange).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_model: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a ``(data, model)`` mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_model
+    arr = np.asarray(devices[: num_data * num_model]).reshape(
+        num_data, num_model
+    )
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch onto the mesh, batch-axis sharded."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def initialize_distributed() -> None:
+    """Multi-host bring-up (SLURM/jobset analog of the reference's
+    ``dist.init_process_group`` path). No-op on a single host."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

@@ -1,0 +1,133 @@
+"""Train state + jitted train/eval steps.
+
+The reference's Lightning ``training_step``/``validation_step`` hooks
+(``nn/arch/detector.py:238-247,316-390``) become two pure functions closed
+over a static ``DetectorConfig`` and compiled once. BatchNorm statistics
+live in a ``batch_stats`` collection carried through the state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from jax import Array
+
+from range_view_3d_detection_tpu.models.decoder import DecoderConfig, decode
+from range_view_3d_detection_tpu.models.detector import (
+    Detector,
+    DetectorConfig,
+    detection_loss,
+)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_state(
+    rng: Array,
+    config: DetectorConfig,
+    tx: optax.GradientTransformation,
+    sample_batch: Dict[str, Array],
+) -> TrainState:
+    model = Detector(config)
+    variables = model.init(
+        rng,
+        sample_batch["features"],
+        sample_batch["cart"],
+        sample_batch["mask"],
+        train=True,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
+    model = Detector(config)
+
+    @jax.jit
+    def train_step(
+        state: TrainState, batch: Dict[str, Array]
+    ) -> Tuple[TrainState, Dict[str, Array]]:
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["features"],
+                batch["cart"],
+                batch["mask"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, metrics = detection_loss(outputs, batch, config)
+            return loss, (metrics, mutated["batch_stats"])
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    config: DetectorConfig,
+    decoder_config: DecoderConfig,
+    *,
+    use_nms: bool = True,
+):
+    """Validation forward + decode (``validation_step``, detector.py:316-390).
+
+    Inference runs the net in eval mode (running BN stats, fp16-autocast in
+    the reference -> bf16 compute here) and decodes to fixed-size
+    detections on device.
+    """
+    model = Detector(config)
+    tasks = config.tasks_dict
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, Array]):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["features"],
+            batch["cart"],
+            batch["mask"],
+            train=False,
+        )
+        return decode(outputs, decoder_config, tasks, use_nms=use_nms)
+
+    return eval_step
+
+
+def make_forward(config: DetectorConfig):
+    """Plain jittable forward (benchmark / graft entry)."""
+    model = Detector(config)
+
+    @jax.jit
+    def forward(variables, features, cart, mask):
+        return model.apply(variables, features, cart, mask, train=False)
+
+    return forward

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Training entrypoint.
+
+Parity with the reference ``scripts/train.py`` surface:
+
+    python scripts/train.py experiment=rv-av2 ++model.batch_size=4 ...
+
+Composes the ``conf/`` tree (Hydra-compatible subset), builds the trainer,
+fits, then runs validation + evaluation.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from range_view_3d_detection_tpu.parallel.mesh import initialize_distributed
+from range_view_3d_detection_tpu.training.loop import Trainer
+from range_view_3d_detection_tpu.utils.config import compose
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("train")
+
+
+def main(argv: list[str]) -> None:
+    experiment = None
+    overrides = []
+    for arg in argv:
+        if arg.startswith("experiment="):
+            experiment = arg.split("=", 1)[1]
+        else:
+            overrides.append(arg)
+    if experiment is None:
+        raise SystemExit("usage: train.py experiment=<name> [++key=value ...]")
+
+    initialize_distributed()
+    cfg = compose(REPO_ROOT / "conf", experiment, overrides)
+    trainer = Trainer(cfg)
+    logger.info(
+        "experiment=%s train_sweeps=%d val_sweeps=%d global_batch=%d",
+        experiment,
+        len(trainer.train_ds),
+        len(trainer.val_ds),
+        trainer.global_batch,
+    )
+    trainer.fit()
+    pred_dir = trainer.validate()
+    logger.info("predictions written to %s", pred_dir)
+
+    try:
+        from range_view_3d_detection_tpu.evaluation.av2_eval import (
+            evaluate_predictions,
+        )
+
+        metrics = evaluate_predictions(
+            pred_dir,
+            Path(cfg["dataset"]["root_dir"]) / "val",
+            categories=trainer.categories,
+        )
+        for k, v in metrics.items():
+            logger.info("metric %s = %s", k, v)
+    except Exception as exc:  # eval is best-effort at train end
+        logger.warning("evaluation skipped: %s", exc)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,89 @@
+"""End-to-end: synthetic dataset -> Trainer.fit -> validate -> evaluate.
+
+Mirrors the reference's debug-overfit oracle (scripts/debug-overfit.sh) at
+miniature scale, plus the multi-chip dry run over the virtual 8-device CPU
+mesh (conftest sets xla_force_host_platform_device_count=8).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from range_view_3d_detection_tpu.data.synthetic import generate_dataset
+from range_view_3d_detection_tpu.training.loop import Trainer
+from range_view_3d_detection_tpu.utils.config import compose
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def synthetic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e") / "sensor"
+    generate_dataset(
+        root,
+        splits={"train": 1, "val": 1},
+        sweeps_per_log=2,
+        height=8,
+        width=56,
+        num_boxes=4,
+        num_bg_points=800,
+        seed=1,
+    )
+    return root
+
+
+def test_trainer_end_to_end(synthetic_root, tmp_path):
+    cfg = compose(
+        REPO / "conf",
+        "rv-synthetic",
+        [
+            f"dataset.root_dir={synthetic_root}",
+            "dataset._train_dataset.range_view_config.height=8",
+            "dataset._train_dataset.range_view_config.width=56",
+            "model.max_boxes=16",
+            "model._backbone.layers=[8,8,8,8,8]",
+            "model._head.fpn={1: 16}",
+            "model._head.classification_head_channels=8",
+            "model._head.regression_head_channels=8",
+            "model._head.num_classification_blocks=1",
+            "model._head.num_regression_blocks=1",
+            "model.post_processing_config.nms_cap=128",
+            "model.post_processing_config.min_confidence=0.01",
+            "trainer.max_epochs=2",
+            "trainer.devices=1",
+            f"run_dir={tmp_path}/run",
+        ],
+    )
+    trainer = Trainer(cfg)
+    assert len(trainer.train_ds) == 2
+    state = trainer.fit()
+    assert state is not None
+    assert int(state.step) == 2  # 2 sweeps / batch 2 * 2 epochs... 1 step/epoch
+
+    pred_dir = trainer.validate()
+    shards = list(Path(pred_dir).glob("*.feather"))
+    assert len(shards) == 2
+
+    from range_view_3d_detection_tpu.evaluation.av2_eval import (
+        evaluate_predictions,
+    )
+
+    metrics = evaluate_predictions(
+        pred_dir,
+        synthetic_root / "val",
+        categories=trainer.categories,
+    )
+    assert "AVERAGE_METRICS" in metrics
+    assert np.isfinite(metrics["AVERAGE_METRICS"]["AP"])
+
+    # Metrics logged.
+    assert (Path(str(tmp_path)) / "run" / "metrics.jsonl").exists()
+
+
+def test_dryrun_multichip():
+    sys.path.insert(0, str(REPO))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Latency + accuracy benchmark harness.
+
+Capability parity with the reference ``tools/benchmark.py`` (33-251):
+batch-1 validation pass with per-stage timing (backbone+head / decoder /
+NMS) using ``block_until_ready`` walls (the TPU analog of
+``torch.cuda.synchronize``, benchmark.py:231-238), FPS after warmup, then
+full evaluation of the written predictions.
+
+Usage:
+    python tools/benchmark.py experiment=rv-synthetic [++key=value ...]
+    python tools/benchmark.py --synthetic          # self-contained run
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+import numpy as np
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("benchmark")
+
+
+def bench(fn, *args, iters=20, warmup=5):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main(argv):
+    from range_view_3d_detection_tpu.data.synthetic import generate_dataset
+    from range_view_3d_detection_tpu.evaluation.av2_eval import (
+        evaluate_predictions,
+    )
+    from range_view_3d_detection_tpu.models.decoder import decode
+    from range_view_3d_detection_tpu.models.detector import Detector
+    from range_view_3d_detection_tpu.training.loop import Trainer
+    from range_view_3d_detection_tpu.utils.config import compose
+
+    overrides = [a for a in argv if "=" in a and not a.startswith("experiment=")]
+    experiment = next(
+        (a.split("=", 1)[1] for a in argv if a.startswith("experiment=")),
+        None,
+    )
+    if "--synthetic" in argv or experiment is None:
+        experiment = "rv-synthetic"
+        root = Path("/tmp/rangebox-bench/sensor")
+        if not root.exists():
+            generate_dataset(
+                root,
+                splits={"train": 1, "val": 1},
+                sweeps_per_log=4,
+                height=32,
+                width=248,
+                seed=7,
+            )
+        overrides += [f"dataset.root_dir={root}", "trainer.max_epochs=1"]
+
+    cfg = compose(REPO / "conf", experiment, overrides)
+    trainer = Trainer(cfg)
+    state = trainer.fit()
+
+    model = Detector(trainer.det_cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    tasks = trainer.det_cfg.tasks_dict
+    dec_cfg = trainer.dec_cfg
+
+    batch = next(iter(trainer.val_loader))
+    feats = batch["features"][:1]
+    cart = batch["cart"][:1]
+    mask = batch["mask"][:1]
+
+    fwd = jax.jit(lambda v, f, c, m: model.apply(v, f, c, m, train=False))
+    dec_only = jax.jit(
+        lambda out: decode(out, dec_cfg, tasks, use_nms=False)
+    )
+    full = jax.jit(
+        lambda v, f, c, m: decode(
+            model.apply(v, f, c, m, train=False), dec_cfg, tasks, use_nms=True
+        )
+    )
+
+    t_fwd = bench(fwd, variables, feats, cart, mask)
+    out = fwd(variables, feats, cart, mask)
+    t_dec = bench(dec_only, out)
+    t_full = bench(full, variables, feats, cart, mask)
+    t_nms = max(t_full - t_fwd - t_dec, 0.0)
+
+    report = {
+        "backbone_head_ms": round(t_fwd * 1e3, 3),
+        "decode_ms": round(t_dec * 1e3, 3),
+        "nms_ms": round(t_nms * 1e3, 3),
+        "e2e_ms": round(t_full * 1e3, 3),
+        "fps": round(1.0 / t_full, 2),
+    }
+
+    pred_dir = trainer.validate()
+    metrics = evaluate_predictions(
+        pred_dir,
+        Path(cfg["dataset"]["root_dir"]) / "val",
+        categories=trainer.categories,
+    )
+    report["metrics"] = {
+        k: {m: round(x, 4) for m, x in v.items()} for k, v in metrics.items()
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
