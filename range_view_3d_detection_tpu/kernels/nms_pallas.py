@@ -1,0 +1,139 @@
+"""Pallas TPU kernel for the greedy (weighted) NMS scan.
+
+The suppression scan is inherently sequential in score order; under plain
+XLA each ``fori_loop`` iteration round-trips its carries through HBM. This
+kernel keeps the *entire* state — the IoU matrix, alive/keep lanes, and the
+merge payload — resident in VMEM for the whole scan, so each of the ``cap``
+steps is a handful of VPU ops plus one (1, cap) x (cap, P) matvec for the
+cluster merge.
+
+Sizing: cap=1024 -> IoU matrix 4 MB fp32 + payload/score lanes << 16 MB
+VMEM. The IoU matrix itself is computed *outside* the kernel by the
+vectorized polygon-clipping code in ``ops.iou`` (embarrassingly parallel —
+exactly what XLA is good at); only the sequential scan lives here.
+
+Semantics match ``ops.nms.multiclass_nms``'s lax implementation (tested
+for equivalence); that implementation remains the CPU/interpret fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nms_scan_kernel(
+    iou_ref,  # (cap, cap) f32 VMEM
+    scores_ref,  # (1, cap) f32
+    valid_ref,  # (1, cap) f32 (0/1)
+    payload_ref,  # (cap, P) f32
+    keep_ref,  # (1, cap) f32 out
+    merged_ref,  # (cap, P) f32 out
+    alive_ref,  # (1, cap) f32 scratch
+    *,
+    cap: int,
+    iou_threshold: float,
+    merge_threshold: float,
+):
+    alive_ref[:, :] = valid_ref[:, :]
+    scores = scores_ref[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+
+    def step(i, _):
+        row = iou_ref[pl.ds(i, 1), :]  # (1, cap)
+        alive = alive_ref[:, :]
+        is_self = lane == i
+        # active iff box i still alive (validity folded into alive init).
+        active = jnp.sum(jnp.where(is_self, alive, 0.0)) > 0.0
+
+        w = scores * alive * (row >= merge_threshold).astype(jnp.float32)
+        # Ensure self-weight even when merge_threshold > 1 (HARD mode).
+        self_w = jnp.where(is_self, scores, 0.0)
+        w = jnp.maximum(w, self_w)
+        wsum = jnp.maximum(jnp.sum(w), 1e-8)
+        merged_row = jax.lax.dot_general(
+            w,
+            payload_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / wsum  # (1, P)
+
+        own_payload = payload_ref[pl.ds(i, 1), :]
+        merged_ref[pl.ds(i, 1), :] = jnp.where(
+            active, merged_row, own_payload
+        )
+        keep_ref[pl.ds(0, 1), pl.ds(i, 1)] = jnp.where(active, 1.0, 0.0).reshape(
+            1, 1
+        )
+
+        suppress = (row > iou_threshold).astype(jnp.float32)
+        new_alive = alive * (1.0 - suppress)
+        alive_ref[:, :] = jnp.where(active, new_alive, alive)
+        return 0
+
+    jax.lax.fori_loop(0, cap, step, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iou_threshold", "merge_threshold", "interpret"),
+)
+def nms_scan_pallas(
+    iou: Array,
+    scores: Array,
+    valid: Array,
+    payload: Array,
+    *,
+    iou_threshold: float,
+    merge_threshold: float,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Run the greedy scan given a precomputed IoU matrix.
+
+    Args:
+        iou: ``(cap, cap)`` pairwise rotated IoU (score-descending order).
+        scores: ``(cap,)`` sorted scores.
+        valid: ``(cap,)`` bool.
+        payload: ``(cap, P)`` merge payload.
+
+    Returns:
+        (keep (cap,) bool, merged (cap, P)).
+    """
+    cap, P = payload.shape
+    kernel = functools.partial(
+        _nms_scan_kernel,
+        cap=cap,
+        iou_threshold=iou_threshold,
+        merge_threshold=merge_threshold,
+    )
+    keep, merged = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, cap), jnp.float32),
+            jax.ShapeDtypeStruct((cap, P), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, cap), jnp.float32)],
+        interpret=interpret,
+    )(
+        iou.astype(jnp.float32),
+        scores.astype(jnp.float32)[None],
+        valid.astype(jnp.float32)[None],
+        payload.astype(jnp.float32),
+    )
+    return keep[0] > 0.5, merged

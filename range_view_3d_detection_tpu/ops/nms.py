@@ -58,6 +58,10 @@ def _block_iou(bev_blk: Array, bev_all: Array) -> Array:
     return iou_ops.iou_rotated_bev(bev_blk, bev_all)
 
 
+def _use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -67,6 +71,7 @@ def _block_iou(bev_blk: Array, bev_all: Array) -> Array:
         "merge_threshold",
         "min_confidence",
         "mode",
+        "backend",
     ),
 )
 def multiclass_nms(
@@ -80,6 +85,7 @@ def multiclass_nms(
     merge_threshold: float = 0.5,
     min_confidence: float = 0.1,
     mode: str = "WEIGHTED",
+    backend: str = "auto",
 ) -> NMSResult:
     """Single-image multi-class NMS with fixed output size.
 
@@ -121,6 +127,34 @@ def multiclass_nms(
     )
 
     merge_thr = merge_threshold if mode.upper() == "WEIGHTED" else 1.01
+
+    if backend == "auto":
+        backend = "pallas" if (_use_pallas_default() and cap <= 1024) else "lax"
+    if backend in ("pallas", "pallas_interpret"):
+        from range_view_3d_detection_tpu.kernels.nms_pallas import (
+            nms_scan_pallas,
+        )
+
+        iou_matrix = iou_ops.iou_rotated_bev(bev, bev)
+        keep, merged = nms_scan_pallas(
+            iou_matrix,
+            top_scores,
+            valid,
+            payload,
+            iou_threshold=iou_threshold,
+            merge_threshold=merge_thr,
+            interpret=(backend == "pallas_interpret"),
+        )
+        yaw = jnp.arctan2(merged[:, 6], merged[:, 7])
+        out_cuboids = jnp.concatenate([merged[:, :6], yaw[:, None]], axis=-1)
+        out_scores = jnp.where(
+            keep,
+            merged[:, 8] if mode.upper() == "WEIGHTED" else top_scores,
+            0.0,
+        )
+        return NMSResult(
+            cuboids=out_cuboids, scores=out_scores, categories=cats, keep=keep
+        )
 
     num_blocks = (cap + block - 1) // block
 

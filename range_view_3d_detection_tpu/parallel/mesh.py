@@ -30,6 +30,10 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
         num_data = len(devices) // num_model
+    if len(devices) < num_data * num_model:
+        # Dry-run path: fall back to the virtual CPU device pool
+        # (xla_force_host_platform_device_count).
+        devices = list(jax.devices("cpu"))
     arr = np.asarray(devices[: num_data * num_model]).reshape(
         num_data, num_model
     )

@@ -166,9 +166,15 @@ class Trainer:
         self.state: Optional[TrainState] = None
 
     def _init_state(self, sample_batch) -> TrainState:
-        state = create_state(
-            jax.random.PRNGKey(0), self.det_cfg, self.tx, sample_batch
+        from range_view_3d_detection_tpu.parallel.mesh import (
+            replicated_sharding,
         )
+
+        key = jax.device_put(
+            jax.random.PRNGKey(0), list(self.mesh.devices.flat)[0]
+        )
+        state = create_state(key, self.det_cfg, self.tx, sample_batch)
+        state = jax.device_put(state, replicated_sharding(self.mesh))
         if self.ckpt is not None and self.ckpt.latest_step() is not None:
             state, _ = self.ckpt.restore(state)
             logger.info("resumed from step %d", int(state.step))

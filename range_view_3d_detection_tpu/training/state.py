@@ -39,12 +39,17 @@ def create_state(
     tx: optax.GradientTransformation,
     sample_batch: Dict[str, Array],
 ) -> TrainState:
+    import numpy as np
+
     model = Detector(config)
+    # Initialize from host copies so init never mixes device placements
+    # (the sample batch may already be sharded over a mesh); callers
+    # device_put the returned state onto their mesh.
     variables = model.init(
         rng,
-        sample_batch["features"],
-        sample_batch["cart"],
-        sample_batch["mask"],
+        np.asarray(sample_batch["features"][:1]),
+        np.asarray(sample_batch["cart"][:1]),
+        np.asarray(sample_batch["mask"][:1]),
         train=True,
     )
     params = variables["params"]
