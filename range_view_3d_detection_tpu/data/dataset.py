@@ -71,6 +71,9 @@ class DatasetConfig:
     augmentations: Optional[Dict[str, Dict[str, float]]] = None
     use_repeat_factor_sampling: bool = False
     min_points_filter: int = 0  # Waymo <50k-point sweep filter analog
+    enable_database: bool = False  # GT-paste augmentation (loader.py:672-686)
+    db_dir: Optional[str] = None  # defaults to <root>/../db
+    db_config: Optional[Dict[str, int]] = None  # {category: num_samples}
     seed: int = 0
 
 
@@ -91,6 +94,14 @@ class RangeViewDataset:
         self._category_map = self._build_category_map()
         self.index = self._build_index()
         self._filter_train_index()
+        self._db = None
+        if cfg.enable_database and cfg.split_name == "train":
+            from range_view_3d_detection_tpu.data.database import (
+                DatabaseSampler,
+            )
+
+            db_dir = cfg.db_dir or str(Path(cfg.root_dir).parent / "db")
+            self._db = DatabaseSampler(db_dir)
         if cfg.use_repeat_factor_sampling and cfg.split_name == "train":
             self.index = self._repeat_factor_sample(self.index)
         self.index = self.index[:: max(cfg.subsampling_rate, 1)]
@@ -121,12 +132,34 @@ class RangeViewDataset:
         (``loader.py:331-344``) and low-point sweeps (``:350-358``)."""
         if self.cfg.split_name != "train":
             return
+        min_pts = self._sweep_point_counts() if self.cfg.min_points_filter else {}
         keep: List[Tuple[str, int]] = []
         for log_id, ts in self.index:
+            if (
+                min_pts
+                and min_pts.get((log_id, ts), np.inf) < self.cfg.min_points_filter
+            ):
+                continue
             ann = self._load_annotations(log_id, ts)
             if len(ann["category"]) > 0:
                 keep.append((log_id, ts))
         self.index = keep
+
+    def _sweep_point_counts(self) -> Dict[Tuple[str, int], int]:
+        """Per-sweep point counts from converter metadata (the Waymo <50k
+        filter, loader.py:350-358; my converter writes per-log
+        metadata.feather)."""
+        counts: Dict[Tuple[str, int], int] = {}
+        for log_path in sorted(self.split_dir.glob("*")):
+            meta_path = log_path / "metadata.feather"
+            if not meta_path.is_file():
+                continue
+            meta = read_feather(meta_path)
+            for lid, ts, n in zip(
+                meta["log_id"], meta["timestamp_ns"], meta["num_pts"]
+            ):
+                counts[(str(lid), int(ts))] = int(n)
+        return counts
 
     def _repeat_factor_sample(
         self, index: List[Tuple[str, int]]
@@ -215,7 +248,7 @@ class RangeViewDataset:
             "mask": rng_img > 0.0,
         }
 
-    def _boxes_from_annotations(self, ann) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def _boxes_from_annotations(self, ann) -> Tuple[np.ndarray, np.ndarray]:
         n = len(ann["category"])
         boxes = np.zeros((n, 7), np.float32)
         for i, c in enumerate(CUBOID_COLUMNS):
@@ -226,15 +259,22 @@ class RangeViewDataset:
             ann["qy"].astype(np.float64),
             ann["qz"].astype(np.float64),
         ).astype(np.float32)
+        return boxes, np.asarray(ann["category"]).astype(str)
+
+    def _tasks_offsets(
+        self, categories: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(task, offset) per box + the (task, offset) sort permutation
+        (parity with loader.py:699-704)."""
+        n = len(categories)
         tasks = np.zeros(n, np.int32)
         offsets = np.zeros(n, np.int32)
-        for i, cat in enumerate(ann["category"]):
+        for i, cat in enumerate(categories):
             t, o = self._category_map[str(cat)]
             tasks[i] = t
             offsets[i] = o
-        # Sort by (task, offset) for parity with loader.py:699-704.
         order = np.lexsort((offsets, tasks))
-        return boxes[order], tasks[order], offsets[order]
+        return tasks, offsets, order
 
     def _feature_cart_slices(self):
         names = list(self.cfg.range_view.feature_column_names)
@@ -249,13 +289,11 @@ class RangeViewDataset:
         log_id, ts = self.index[idx]
         sweep = self.load_sweep(log_id, ts)
         ann = self._load_annotations(log_id, ts)
-        boxes, box_task, box_offset = self._boxes_from_annotations(ann)
+        boxes, box_cats = self._boxes_from_annotations(ann)
 
+        rng = np.random.default_rng(np.random.SeedSequence([self.cfg.seed, idx]))
         if self.cfg.split_name == "train" and self.cfg.augmentations:
             names = list(self.cfg.range_view.feature_column_names)
-            rng = np.random.default_rng(
-                np.random.SeedSequence([self.cfg.seed, idx])
-            )
             sweep, boxes = augs.apply_augmentations(
                 sweep,
                 boxes,
@@ -266,6 +304,23 @@ class RangeViewDataset:
                     names.index("range") if "range" in names else None
                 ),
             )
+
+        if self._db is not None and self.cfg.db_config:
+            sweep, boxes, box_cats = self._db.sample(
+                sweep,
+                boxes,
+                box_cats,
+                self.cfg.db_config,
+                rng,
+                feature_columns=self.cfg.range_view.feature_column_names,
+            )
+
+        box_task, box_offset, order = self._tasks_offsets(box_cats)
+        boxes, box_task, box_offset = (
+            boxes[order],
+            box_task[order],
+            box_offset[order],
+        )
 
         features, cart, mask = self._pad_and_stride(sweep)
 

@@ -101,18 +101,19 @@ def z_buffer_jax(
     """
     n = distances.shape[0]
     valid = distances >= min_distance
-    flat = jnp.where(valid, row * width + col, height * width)
+    flat = jnp.where(valid, row * width + col, height * width).astype(jnp.int32)
+    num_segments = height * width + 1
 
-    # Pack distance and point index into one sortable float64-free key:
-    # quantize distance to 1mm steps (range < 2^22 mm covers 4 km).
-    qdist = jnp.clip((distances * 1000.0).astype(jnp.int64), 0, (1 << 40) - 1)
-    key = qdist * n + jnp.arange(n, dtype=jnp.int64)
-    best = jax.ops.segment_min(
-        key, flat, num_segments=height * width + 1
-    )  # (HW+1,)
-    has = best < jnp.iinfo(jnp.int64).max
-    winner = jnp.where(has, (best % n).astype(jnp.int32), 0)
-    img = jnp.where(
-        has[:, None], values[winner], jnp.zeros_like(values[winner])
-    )
+    # Pass 1: per-pixel minimum distance.
+    dist_masked = jnp.where(valid, distances, jnp.inf)
+    seg_min = jax.ops.segment_min(dist_masked, flat, num_segments=num_segments)
+    # Pass 2: among min-distance points per pixel, the smallest index wins
+    # (deterministic tie-break; the sequential reference keeps the first).
+    is_min = valid & (distances <= seg_min[flat])
+    big = jnp.iinfo(jnp.int32).max
+    idx = jnp.where(is_min, jnp.arange(n, dtype=jnp.int32), big)
+    winner = jax.ops.segment_min(idx, flat, num_segments=num_segments)
+    has = winner < big
+    safe = jnp.where(has, winner, 0)
+    img = jnp.where(has[:, None], values[safe], 0.0)
     return img[: height * width].reshape(height, width, values.shape[1])

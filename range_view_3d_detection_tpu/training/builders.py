@@ -156,4 +156,8 @@ def build_dataset_config(cfg: Dict[str, Any], split: str) -> DatasetConfig:
             d.get("use_repeat_factor_sampling", False)
         ),
         min_points_filter=int(d.get("min_points_filter", 0)),
+        enable_database=bool(
+            cfg["model"].get("enable_database", False) and split == "train"
+        ),
+        db_config=cfg["model"].get("db_config"),
     )
