@@ -226,7 +226,19 @@ class RangeViewDataset:
             roi = None
 
         feature_names = self.cfg.range_view.feature_column_names
-        feats = np.stack([img(n) for n in feature_names], axis=-1)
+
+        def feature_img(name):
+            if name == "view":
+                # Laser -> sensor-view channel (loader.py:605-621): 2 for the
+                # upper 32-beam LiDAR, 1 for the lower, 0 for empty pixels.
+                ln = cols["laser_number"].astype(np.float32).reshape(h, w)
+                rv = img("range") > 0
+                return np.where(rv, np.where(ln <= 32, 2.0, 1.0), 0.0).astype(
+                    np.float32
+                )
+            return img(name)
+
+        feats = np.stack([feature_img(n) for n in feature_names], axis=-1)
         cart = np.stack([img("x"), img("y"), img("z")], axis=-1)
         rng_img = img("range")
         if roi is not None:

@@ -42,6 +42,7 @@ def _nms_scan_kernel(
     merge_threshold: float,
 ):
     alive_ref[:, :] = valid_ref[:, :]
+    keep_ref[:, :] = jnp.zeros_like(keep_ref)
     scores = scores_ref[:, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
 
@@ -68,9 +69,10 @@ def _nms_scan_kernel(
         merged_ref[pl.ds(i, 1), :] = jnp.where(
             active, merged_row, own_payload
         )
-        keep_ref[pl.ds(0, 1), pl.ds(i, 1)] = jnp.where(active, 1.0, 0.0).reshape(
-            1, 1
-        )
+        # Dynamic-lane scalar stores are not supported by Mosaic; update the
+        # keep row with a full-width masked write instead.
+        active_f = jnp.where(active, 1.0, 0.0)
+        keep_ref[:, :] = jnp.where(is_self, active_f, keep_ref[:, :])
 
         suppress = (row > iou_threshold).astype(jnp.float32)
         new_alive = alive * (1.0 - suppress)

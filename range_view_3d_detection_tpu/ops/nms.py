@@ -100,10 +100,21 @@ def multiclass_nms(
         ``NMSResult`` with ``cap`` slots and a ``keep`` mask.
     """
     n = scores.shape[0]
+    # Pad the proposal budget to a block multiple: dynamic_slice clamps at
+    # the array end, which would otherwise re-process (and clobber) earlier
+    # rows in a ragged final block.
     cap = min(cap, n)
-    valid = scores >= min_confidence
-    masked = jnp.where(valid, scores, -1.0)
-    top_scores, top_idx = jax.lax.top_k(masked, cap)
+    cap = ((cap + block - 1) // block) * block
+    masked = jnp.where(scores >= min_confidence, scores, -1.0)
+    if cap <= n:
+        top_scores, top_idx = jax.lax.top_k(masked, cap)
+    else:
+        pad = cap - n
+        top_scores, top_idx = jax.lax.top_k(
+            jnp.concatenate([masked, jnp.full((pad,), -1.0, masked.dtype)]),
+            cap,
+        )
+        top_idx = jnp.minimum(top_idx, n - 1)
     boxes = cuboids[top_idx]
     cats = categories[top_idx]
     valid = top_scores >= min_confidence

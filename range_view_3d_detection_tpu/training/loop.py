@@ -163,6 +163,7 @@ class Trainer:
         for _, cats in sorted(self.det_cfg.tasks, key=lambda kv: kv[0]):
             self.categories.extend(sorted(cats))
 
+        self.train_log_freq = int(cfg["model"].get("train_log_freq", 100))
         self.state: Optional[TrainState] = None
 
     def _init_state(self, sample_batch) -> TrainState:
@@ -204,11 +205,37 @@ class Trainer:
                     m["lr"] = self.schedule(step)
                     m["wall_time"] = time.time() - t0
                     self.logger.log(m, step)
+                if self.train_log_freq and step % self.train_log_freq == 0:
+                    self._log_images(device_batch, batch, step)
             if self.ckpt is not None:
                 self.ckpt.save(step, self.state, self.cfg)
         if self.ckpt is not None:
             self.ckpt.wait()
         return self.state
+
+    def _log_images(self, device_batch, batch, step: int) -> None:
+        """Decode batch-0 and render GT-vs-pred BEV every ``train_log_freq``
+        steps (``Detector.on_train_batch_end``, detector.py:249-314)."""
+        try:
+            from range_view_3d_detection_tpu.utils.rendering import draw_bev
+
+            result = self.eval_step(self.state, device_batch)
+            keep = np.asarray(result.keep)[0]
+            preds = np.asarray(result.cuboids)[0][keep]
+            n = int(np.asarray(batch["box_valid"][0]).sum())
+            gts = np.asarray(batch["boxes"][0][:n])
+            cart = np.asarray(batch["cart"][0]).reshape(-1, 3)
+            mask = np.asarray(batch["mask"][0]).reshape(-1)
+            img_dir = self.run_dir / "images"
+            img_dir.mkdir(exist_ok=True)
+            draw_bev(
+                cart[mask][:, :2],
+                gts,
+                preds,
+                out_path=img_dir / f"bev_{step:07d}.png",
+            )
+        except Exception as exc:  # visualization must never kill training
+            logger.warning("image logging failed: %s", exc)
 
     def validate(self, dst_dir: Optional[Path] = None) -> Path:
         """Decode the val split and write prediction feather shards

@@ -93,6 +93,14 @@ def main(argv):
         )
     )
 
+    if "--profile" in argv:
+        # jax.profiler trace (the TPU analog of the reference's
+        # cuda.synchronize walls + nsight; SURVEY §5 tracing gap).
+        trace_dir = str(REPO / "profile_trace")
+        with jax.profiler.trace(trace_dir):
+            jax.block_until_ready(full(variables, feats, cart, mask))
+        logger.info("profiler trace written to %s", trace_dir)
+
     t_fwd = bench(fwd, variables, feats, cart, mask)
     out = fwd(variables, feats, cart, mask)
     t_dec = bench(dec_only, out)
