@@ -1,0 +1,114 @@
+"""Width (azimuth) sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from range_view_3d_detection_tpu.parallel.mesh import make_mesh
+from range_view_3d_detection_tpu.parallel.spatial import (
+    width_sharded_forward,
+    width_shardings,
+)
+
+
+def test_halo_exchange_matches_roll():
+    """Sharded halo exchange + identity == circularly padded global slices."""
+    from jax.sharding import PartitionSpec as P
+
+    from range_view_3d_detection_tpu.parallel.spatial import exchange_halo
+
+    mesh = make_mesh(num_data=1, num_model=8)
+    B, H, W, C = 1, 2, 64, 3
+    halo = 2
+    x = np.arange(B * H * W * C, dtype=np.float32).reshape(B, H, W, C)
+
+    def local(x):
+        return exchange_halo(x, halo, "model")
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P("data", None, "model", None),
+        out_specs=P("data", None, "model", None),
+    )
+    xg = jax.device_put(
+        jnp.asarray(x), width_shardings(mesh)[0]
+    )
+    out = np.asarray(fn(xg))  # (B, H, 8 * (8 + 2*halo), C)
+    shard_w = W // 8
+    for d in range(8):
+        blk = out[:, :, d * (shard_w + 2 * halo) : (d + 1) * (shard_w + 2 * halo)]
+        lo = (d * shard_w - halo) % W
+        want = np.concatenate(
+            [x[:, :, (lo + i) % W][:, :, None] for i in range(shard_w + 2 * halo)],
+            axis=2,
+        )
+        np.testing.assert_array_equal(blk, want)
+
+
+def test_width_sharded_conv_exact():
+    """A width-sharded SAME conv with halo == the circular-padded global conv."""
+    import flax.linen as nn
+
+    mesh = make_mesh(num_data=1, num_model=8)
+    B, H, W, C = 1, 4, 64, 3
+    halo = 2
+
+    conv = nn.Conv(8, (3, 3), padding="SAME")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    variables = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def apply_fn(v, f, c, m):
+        y = conv.apply(v, f)
+        return {"head": {1: {"y": y}}, "strided": {1: {"cart": f, "mask": m}}}
+
+    r4, r3 = width_shardings(mesh)
+    fg = jax.device_put(jnp.asarray(x), r4)
+    cg = jax.device_put(jnp.zeros((B, H, W, 3), jnp.float32), r4)
+    mg = jax.device_put(jnp.ones((B, H, W), bool), r3)
+
+    out = width_sharded_forward(
+        apply_fn, mesh, variables, fg, cg, mg, halo=halo
+    )
+    got = np.asarray(out["head"][1]["y"])
+
+    # Global reference with circular width padding (the azimuth seam wrap).
+    xp = np.concatenate([x[:, :, -halo:], x, x[:, :, :halo]], axis=2)
+    ref = np.asarray(conv.apply(variables, jnp.asarray(xp)))[:, :, halo:-halo]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_width_sharded_detector_smoke():
+    """Full tiny detector through the width-sharded path: shapes + finite."""
+    from range_view_3d_detection_tpu.models.detector import Detector
+    from tests.test_model import tiny_batch, tiny_config
+
+    # 2 width shards: local 32 + 2*16 halo = 64, divisible by the 16x stride.
+    mesh = make_mesh(num_data=1, num_model=2)
+    cfg = tiny_config(stem_type="BASIC")
+    batch = tiny_batch(B=1)
+    model = Detector(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["features"],
+        batch["cart"],
+        batch["mask"],
+        train=False,
+    )
+
+    def apply_fn(v, f, c, m):
+        return model.apply(v, f, c, m, train=False)
+
+    r4, r3 = width_shardings(mesh)
+    fg = jax.device_put(batch["features"], r4)
+    cg = jax.device_put(batch["cart"], r4)
+    mg = jax.device_put(batch["mask"], r3)
+
+    out = width_sharded_forward(
+        apply_fn, mesh, variables, fg, cg, mg, halo=16
+    )
+    logits = np.asarray(out["head"][1][0]["logits"])
+    assert logits.shape == (1, 8, 64, 2)
+    assert np.isfinite(logits).all()

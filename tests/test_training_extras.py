@@ -1,0 +1,124 @@
+"""Checkpoint round-trip, schedule semantics, finite-k assignment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from range_view_3d_detection_tpu.training import optim
+
+
+def test_onecycle_schedule_shape():
+    tx, sched = optim.make_optimizer(1e-3, 100)
+    lrs = [float(sched(i)) for i in range(100)]
+    peak = max(lrs)
+    assert abs(peak - 1e-3) < 1e-4
+    assert np.argmax(lrs) == 30  # pct_start 0.3
+    assert lrs[0] < peak / 10  # div_factor 25 warmup start
+    assert lrs[-1] < peak / 100  # final annealing
+
+
+def test_sqrt_lr_scaling():
+    assert optim.scaled_max_lr(1e-3, 4, 4, enable=True) == 1e-3 * 4.0
+    assert optim.scaled_max_lr(1e-3, 4, 4, enable=False) == 1e-3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from range_view_3d_detection_tpu.training.checkpoints import (
+        CheckpointManager,
+    )
+    from range_view_3d_detection_tpu.training.state import TrainState
+
+    tx, _ = optim.make_optimizer(1e-3, 10, debug=True)
+    params = {"w": jnp.arange(8.0), "b": jnp.ones((3,))}
+    state = TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params=params,
+        batch_stats={"bn": jnp.zeros((4,))},
+        opt_state=tx.init(params),
+    )
+    mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+    mgr.save(7, state, {"model": {"batch_size": 2}})
+    mgr.wait()
+    assert mgr.latest_step() == 7
+
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, cfg = mgr.restore(template)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.arange(8.0)
+    )
+    assert cfg["model"]["batch_size"] == 2
+    mgr.close()
+
+
+def test_finite_k_assignment():
+    """k=1 keeps only the best pixel per instance."""
+    from range_view_3d_detection_tpu.ops import assignment, coding
+
+    B, H, W, C, K = 1, 4, 8, 2, 4
+    rng = np.random.default_rng(0)
+    cart = rng.uniform(5, 20, size=(B, H, W, 3)).astype(np.float32)
+    # One instance covering 6 pixels.
+    winner = np.full((B, H, W), -1, np.int32)
+    winner[0, 1, 1:7] = 2
+    labels = np.where(winner >= 0, 0, C).astype(np.int32)
+    boxes = np.array([12.0, 3.0, 0.5, 4.0, 2.0, 1.5, 0.3], np.float32)
+    tgt = np.asarray(
+        coding.encode_boxes(
+            jnp.broadcast_to(jnp.asarray(boxes), (B, H, W, 7)),
+            jnp.asarray(cart),
+        )
+    )
+    pred = tgt + rng.normal(0, 0.2, tgt.shape).astype(np.float32)
+
+    out = assignment.compute_classification_targets(
+        jnp.asarray(pred),
+        jnp.asarray(tgt),
+        jnp.asarray(labels),
+        jnp.asarray(winner),
+        jnp.asarray(cart),
+        jnp.ones((B, H, W), bool),
+        num_categories=C,
+        affinity_fn="GAUSSIAN",
+        sigma=1.0,
+        k=1.0,
+        max_boxes=K,
+    )
+    fg = np.asarray(out.foreground_mask)
+    assert fg.sum() == 1, "k=1 must keep exactly one pixel of the instance"
+    assert fg[0, 1, 1:7].sum() == 1
+
+
+def test_normalize_affinities():
+    """Per-instance max-normalization drives the best pixel's affinity to 1."""
+    from range_view_3d_detection_tpu.ops import assignment, coding
+
+    B, H, W, C, K = 1, 4, 8, 2, 4
+    rng = np.random.default_rng(1)
+    cart = rng.uniform(5, 20, size=(B, H, W, 3)).astype(np.float32)
+    winner = np.full((B, H, W), -1, np.int32)
+    winner[0, 2, 0:5] = 1
+    labels = np.where(winner >= 0, 1, C).astype(np.int32)
+    boxes = np.array([10.0, -2.0, 0.5, 4.0, 2.0, 1.5, -0.4], np.float32)
+    tgt = np.asarray(
+        coding.encode_boxes(
+            jnp.broadcast_to(jnp.asarray(boxes), (B, H, W, 7)),
+            jnp.asarray(cart),
+        )
+    )
+    pred = tgt + rng.normal(0, 0.3, tgt.shape).astype(np.float32)
+    out = assignment.compute_classification_targets(
+        jnp.asarray(pred),
+        jnp.asarray(tgt),
+        jnp.asarray(labels),
+        jnp.asarray(winner),
+        jnp.asarray(cart),
+        jnp.ones((B, H, W), bool),
+        num_categories=C,
+        affinity_fn="GAUSSIAN",
+        sigma=1.0,
+        normalize_affinities=True,
+        max_boxes=K,
+    )
+    aff = np.asarray(out.affinities)[..., 1]
+    np.testing.assert_allclose(aff[0, 2, 0:5].max(), 1.0, atol=1e-5)
