@@ -44,16 +44,21 @@ def main() -> None:
         out = model.apply(variables, feats, cart, mask, train=False)
         return decode(out, dec_cfg, tasks, use_nms=True)
 
+    def sync(r):
+        # Force a host readback: through remote-tunnel transports,
+        # block_until_ready alone does not guarantee device completion;
+        # fetching the last result drains the in-order execution queue.
+        return float(jax.tree_util.tree_leaves(r)[0].sum())
+
     # Warmup / compile.
     for _ in range(5):
-        res = pipeline(variables, feats, cart, mask)
-        jax.block_until_ready(res)
+        sync(pipeline(variables, feats, cart, mask))
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         res = pipeline(variables, feats, cart, mask)
-    jax.block_until_ready(res)
+    sync(res)
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 

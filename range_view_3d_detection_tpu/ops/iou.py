@@ -112,8 +112,92 @@ def _edge_intersections(ca: Array, cb: Array):
     return pts.reshape(shape), valid.reshape(shape[:-1])
 
 
+def _rect_half_planes(rect: Array):
+    """Rotated rect (..., 5) -> 4 half-planes (normal (..., 4, 2),
+    offset (..., 4)) with inside == n.x <= b."""
+    x, y, l, w, yaw = (
+        rect[..., 0],
+        rect[..., 1],
+        rect[..., 2],
+        rect[..., 3],
+        rect[..., 4],
+    )
+    cos, sin = jnp.cos(yaw), jnp.sin(yaw)
+    u = jnp.stack([cos, sin], axis=-1)  # long axis
+    v = jnp.stack([-sin, cos], axis=-1)  # short axis
+    ctr = jnp.stack([x, y], axis=-1)
+    normals = jnp.stack([u, -u, v, -v], axis=-2)  # (..., 4, 2)
+    half = jnp.stack([l, l, w, w], axis=-1) * 0.5
+    offsets = (normals * ctr[..., None, :]).sum(-1) + half
+    return normals, offsets
+
+
+def _clipped_edge_area(corners: Array, normals: Array, offsets: Array) -> Array:
+    """Signed shoelace contribution of ``corners``' edges clipped to the
+    half-plane set. ``corners (..., 4, 2)``, planes ``(..., 4, 2)/(..., 4)``.
+
+    For each directed edge p->q, 1-D interval clipping against the 4 linear
+    inside-constraints yields the sub-segment inside the other rect; its
+    ``cross(start, end) / 2`` term contributes to the intersection area.
+    """
+    p = corners  # (..., 4, 2)
+    q = jnp.roll(corners, -1, axis=-2)
+    # g(t) = n.(p + t (q - p)) - b ; inside iff g <= tol. The tolerance
+    # absorbs fp noise when an edge lies exactly on the other rect's
+    # boundary (self-IoU, duplicated proposals); it biases boundaries by
+    # ~0.1 mm, far below any IoU threshold's sensitivity.
+    tol = 1e-4
+    gp = (normals[..., None, :, :] * p[..., :, None, :]).sum(-1) - offsets[
+        ..., None, :
+    ] - tol  # (..., 4 edges, 4 planes)
+    gq = (normals[..., None, :, :] * q[..., :, None, :]).sum(-1) - offsets[
+        ..., None, :
+    ] - tol
+    denom = gp - gq
+    t_cross = gp / jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
+    entering = (gp > 0) & (gq <= 0)
+    exiting = (gp <= 0) & (gq > 0)
+    empty = (gp > 0) & (gq > 0)
+    t0 = jnp.max(jnp.where(entering, t_cross, 0.0), axis=-1)
+    t1 = jnp.min(jnp.where(exiting, t_cross, 1.0), axis=-1)
+    ok = (~empty.any(axis=-1)) & (t0 < t1)
+
+    d = q - p
+    s0 = p + t0[..., None] * d
+    s1 = p + t1[..., None] * d
+    contrib = 0.5 * (s0[..., 0] * s1[..., 1] - s1[..., 0] * s0[..., 1])
+    return jnp.where(ok, contrib, 0.0).sum(axis=-1)  # (...,)
+
+
 def rotated_rect_intersection_area(boxes_a: Array, boxes_b: Array) -> Array:
-    """Intersection area of rotated rects ``(..., 5)`` (x, y, l, w, yaw)."""
+    """Intersection area of rotated rects ``(..., 5)`` (x, y, l, w, yaw).
+
+    Order-free formulation: the intersection boundary consists of the parts
+    of A's edges inside B plus the parts of B's edges inside A, each
+    traversed CCW; the shoelace sum decomposes over those sub-segments, so
+    each edge is clipped independently (4 half-plane interval clips) and no
+    vertex ordering/sort is ever needed. ~200 flops/pair, fully fused by
+    XLA — this replaced a 24-candidate + angle-sort formulation that was
+    the NMS pipeline's bottleneck.
+    """
+    ca = box_corners_bev(boxes_a)
+    cb = box_corners_bev(boxes_b)
+    na, ba = _rect_half_planes(boxes_a)
+    nb, bb = _rect_half_planes(boxes_b)
+
+    # Shrink A's half-planes by epsilon when clipping B's edges so boundary
+    # segments shared by both rects (e.g. identical boxes — common among
+    # NMS proposals) are counted exactly once.
+    shared_eps = 4e-4  # must exceed the clip tolerance in _clipped_edge_area
+    area = _clipped_edge_area(ca, nb, bb) + _clipped_edge_area(
+        cb, na, ba - shared_eps
+    )
+    return jnp.maximum(area, 0.0)
+
+
+def _rotated_rect_intersection_area_sorted(boxes_a: Array, boxes_b: Array) -> Array:
+    """Candidate-point + angle-sort formulation (kept as a reference
+    implementation for tests)."""
     ca = box_corners_bev(boxes_a)
     cb = box_corners_bev(boxes_b)
 
@@ -142,12 +226,15 @@ def rotated_rect_intersection_area(boxes_a: Array, boxes_b: Array) -> Array:
     angle = jnp.arctan2(rel[..., 1], rel[..., 0])
     angle = jnp.where(valid, angle, 1e9)  # invalid sort last
 
-    order = jnp.argsort(angle, axis=-1)
-    sorted_pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
+    # Fixed-size bitonic network (ops/sorting.py) instead of XLA's generic
+    # sort — the 24-candidate ordering is the NMS pipeline's hot spot.
+    from range_view_3d_detection_tpu.ops.sorting import sort_with_payload
+
+    _, sorted_pts = sort_with_payload(angle, pts)  # padded to 32
 
     # Replace trailing (invalid) slots with the first valid point so the
     # cyclic shoelace closes correctly and degenerate edges contribute 0.
-    idx = jnp.arange(24)
+    idx = jnp.arange(sorted_pts.shape[-2])
     first = sorted_pts[..., 0:1, :]
     keep = (idx < count)[..., None]
     poly = jnp.where(keep, sorted_pts, first)

@@ -38,6 +38,7 @@ from range_view_3d_detection_tpu.training.state import (
     create_state,
     make_eval_step,
     make_train_step,
+    make_val_step,
 )
 from range_view_3d_detection_tpu.utils.feather import write_feather
 from range_view_3d_detection_tpu.utils.logging import MetricsLogger
@@ -237,18 +238,37 @@ class Trainer:
         except Exception as exc:  # visualization must never kill training
             logger.warning("image logging failed: %s", exc)
 
-    def validate(self, dst_dir: Optional[Path] = None) -> Path:
-        """Decode the val split and write prediction feather shards
-        (``validation_step`` + shard write, detector.py:316-380)."""
+    def validate(
+        self, dst_dir: Optional[Path] = None, *, compute_losses: bool = True
+    ) -> Path:
+        """Decode the val split and write prediction feather shards;
+        optionally log averaged validation losses
+        (``validation_step`` + shard write, detector.py:316-390)."""
         assert self.state is not None, "call fit() or restore first"
         dst = Path(dst_dir or (self.run_dir / "predictions"))
         dst.mkdir(parents=True, exist_ok=True)
+        val_step = (
+            make_val_step(self.det_cfg, self.dec_cfg)
+            if compute_losses
+            else None
+        )
+        val_metric_sums: Dict[str, float] = {}
+        num_val_batches = 0
         for batch in self.val_loader:
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
                 self.mesh,
             )
-            result = self.eval_step(self.state, device_batch)
+            if val_step is not None:
+                result, vm = val_step(self.state, device_batch)
+                num_val_batches += 1
+                for k, v in vm.items():
+                    try:
+                        val_metric_sums[k] = val_metric_sums.get(k, 0.0) + float(v)
+                    except (TypeError, ValueError):
+                        pass
+            else:
+                result = self.eval_step(self.state, device_batch)
             cols = flatten_detections(result, batch["uuids"], self.categories)
             for log_id, ts in batch["uuids"]:
                 m = (cols["log_id"] == log_id) & (cols["timestamp_ns"] == ts)
@@ -258,4 +278,9 @@ class Trainer:
                 shard["category"] = shard["category"].astype(str)
                 shard["log_id"] = shard["log_id"].astype(str)
                 write_feather(dst / f"{log_id}_{ts}.feather", shard)
+        if num_val_batches:
+            self.logger.log(
+                {k: v / num_val_batches for k, v in val_metric_sums.items()},
+                int(self.state.step),
+            )
         return dst

@@ -127,6 +127,34 @@ def make_eval_step(
     return eval_step
 
 
+def make_val_step(
+    config: DetectorConfig,
+    decoder_config: DecoderConfig,
+    *,
+    use_nms: bool = True,
+):
+    """Validation step with loss computation + decoding in one jit
+    (``validation_step`` computes both — detector.py:316-390)."""
+    model = Detector(config)
+    tasks = config.tasks_dict
+
+    @jax.jit
+    def val_step(state: TrainState, batch: Dict[str, Array]):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["features"],
+            batch["cart"],
+            batch["mask"],
+            train=False,
+        )
+        _, metrics = detection_loss(outputs, batch, config)
+        result = decode(outputs, decoder_config, tasks, use_nms=use_nms)
+        val_metrics = {f"val/{k}": v for k, v in metrics.items()}
+        return result, val_metrics
+
+    return val_step
+
+
 def make_forward(config: DetectorConfig):
     """Plain jittable forward (benchmark / graft entry)."""
     model = Detector(config)

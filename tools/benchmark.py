@@ -30,13 +30,19 @@ logging.basicConfig(level=logging.INFO)
 logger = logging.getLogger("benchmark")
 
 
+def _sync(r):
+    """Host readback: guarantees device completion even through remote
+    transports where block_until_ready returns early."""
+    return float(jax.tree_util.tree_leaves(r)[0].sum())
+
+
 def bench(fn, *args, iters=20, warmup=5):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
