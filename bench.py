@@ -32,9 +32,9 @@ def main() -> None:
     cfg = _flagship_config()
     dec_cfg = DecoderConfig(nms_cap=1024)
     model = Detector(cfg)
-    # Throughput operating point: batch 4 saturates the chip (batch 8 OOMs
-    # at 16 GB HBM); per-frame latency at batch 1 is ~0.5 ms.
-    batch = 4
+    # Throughput operating point: batch 2 (larger batches exhaust the 16 GB
+    # HBM once queued executions' workspaces stack up).
+    batch = 2
     feats, cart, mask = _sample_inputs(batch, 64, 1808, 5)
     variables = model.init(jax.random.PRNGKey(0), feats, cart, mask, train=False)
     tasks = cfg.tasks_dict
@@ -51,14 +51,18 @@ def main() -> None:
         return float(jax.tree_util.tree_leaves(r)[0].sum())
 
     # Warmup / compile.
-    for _ in range(5):
+    for _ in range(3):
         sync(pipeline(variables, feats, cart, mask))
 
-    iters = 30
+    # Chunked loop: a bounded in-flight queue (deep queues exhaust HBM
+    # workspace), synced by host readback per chunk. The per-chunk readback
+    # RPC inflates the measurement slightly — reported fps is conservative.
+    iters, chunk = 24, 4
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
         res = pipeline(variables, feats, cart, mask)
-    sync(res)
+        if (i + 1) % chunk == 0:
+            sync(res)
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 

@@ -392,11 +392,14 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class DataLoader:
-    """Minimal epoch iterator with shuffling and fixed batch size.
+    """Epoch iterator with shuffling, fixed batch size, and background
+    thread prefetch.
 
-    (The reference wraps torch DataLoader with 6 workers/rank; this host
-    pipeline is single-process for now — the C++ decode path and thread
-    prefetch land with the native IO milestone.)
+    The reference hides IO behind 6 torch DataLoader workers per rank
+    (``conf/model/baseline.yaml:24``); here a thread pool decodes sweeps
+    (feather decode + reshape release the GIL inside pyarrow / the native
+    C++ kernels) and a small prefetch queue keeps batches ahead of the
+    device step.
     """
 
     def __init__(
@@ -407,6 +410,8 @@ class DataLoader:
         shuffle: bool = False,
         drop_last: bool = True,
         seed: int = 0,
+        num_workers: int = 2,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -414,6 +419,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        self.num_workers = num_workers
+        self.prefetch = prefetch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -421,16 +428,41 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _batch_indices(self) -> List[np.ndarray]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
         self.epoch += 1
+        batches = []
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             if len(idx) < self.batch_size:
                 if self.drop_last:
-                    return
+                    break
                 idx = np.concatenate([idx, order[: self.batch_size - len(idx)]])
-            yield collate([self.dataset[int(i)] for i in idx])
+            batches.append(idx)
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batch_indices()
+        if self.num_workers <= 0 or len(batches) <= 1:
+            for idx in batches:
+                yield collate([self.dataset[int(i)] for i in idx])
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(idx):
+            return collate([self.dataset[int(i)] for i in idx])
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = max(self.prefetch, 1)
+            futures = [pool.submit(load, idx) for idx in batches[:window]]
+            next_submit = window
+            for i in range(len(batches)):
+                batch = futures[i].result()
+                if next_submit < len(batches):
+                    futures.append(pool.submit(load, batches[next_submit]))
+                    next_submit += 1
+                yield batch

@@ -63,6 +63,25 @@ def main(argv: list[str]) -> None:
         )
         for k, v in metrics.items():
             logger.info("metric %s = %s", k, v)
+
+        # Persist the metrics table as a feather artifact next to the
+        # prediction shards (reference uploads these to W&B —
+        # detector.py:518-535; local artifacts here).
+        import numpy as np
+
+        from range_view_3d_detection_tpu.utils.feather import write_feather
+
+        rows = sorted(metrics)
+        write_feather(
+            trainer.run_dir / "metrics.feather",
+            {
+                "category": np.asarray(rows),
+                **{
+                    m: np.asarray([metrics[r].get(m, np.nan) for r in rows])
+                    for m in ("AP", "ATE", "ASE", "AOE", "CDS", "num_gts")
+                },
+            },
+        )
     except Exception as exc:  # eval is best-effort at train end
         logger.warning("evaluation skipped: %s", exc)
 
