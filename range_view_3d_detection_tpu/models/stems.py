@@ -1,9 +1,11 @@
 """Input stems: MetaKernel, RangePartition, Basic.
 
 Capability parity with ``src/torchbox3d/nn/stems/__init__.py`` (12-128),
-re-designed channel-last. The reference's ``F.unfold`` (im2col) becomes a
-static stack of 9 shifted views — XLA fuses the shifts; no im2col buffer is
-materialized in HBM.
+re-designed channel-last. The reference's ``F.unfold`` (im2col) becomes
+static shifted views; at inference the meta-kernel additionally avoids
+materializing the (B, H, W, 9, C) neighborhood tensor entirely by
+accumulating per-neighbor block matmuls — the stem is memory-bound, not
+FLOP-bound, and the im2col buffer dominated its runtime.
 """
 
 from __future__ import annotations
@@ -23,9 +25,8 @@ def extract_neighbors(x: Array, num_neighbors: int) -> Array:
     """``(B, H, W, C)`` -> ``(B, H, W, n*n, C)`` zero-padded neighborhoods.
 
     Equivalent to ``F.unfold(x, n, padding=n//2)`` in the reference
-    (``stems/__init__.py:69-77``) with channel-last layout. Neighbor order is
-    row-major over (dy, dx), so the center sits at index ``n*n // 2`` —
-    matching the reference's ``center_idx``.
+    (``stems/__init__.py:69-77``) with channel-last layout. Neighbor order
+    is row-major over (dy, dx), so the center sits at index ``n*n // 2``.
     """
     pad = num_neighbors // 2
     B, H, W, C = x.shape
@@ -37,57 +38,127 @@ def extract_neighbors(x: Array, num_neighbors: int) -> Array:
     return jnp.stack(views, axis=3)
 
 
+def _neighbor_view(x: Array, dy: int, dx: int, pad: int) -> Array:
+    """One zero-padded neighborhood view (the (dy, dx) slice of unfold)."""
+    B, H, W = x.shape[:3]
+    xp = jnp.pad(
+        x, ((0, 0), (pad, pad), (pad, pad)) + ((0, 0),) * (x.ndim - 3)
+    )
+    return xp[:, dy : dy + H, dx : dx + W]
+
+
 class MetaKernel(nn.Module):
     """RangeDet-style meta-kernel stem (``stems/__init__.py::MetaKernel``).
 
-    Projection block, then per-neighbor positional MLP over *relative*
-    Cartesian coordinates, multiplied with the unfolded features and fused
-    with a 1x1 MLP. All 1x1 convs are Dense layers on the channel axis (the
-    MXU-friendly formulation).
+    Projection block, per-neighbor positional MLP over *relative* Cartesian
+    coordinates, multiplied with the unfolded features and fused with a 1x1
+    MLP.
+
+    Two computation paths with shared parameters:
+    - train: the reference formulation (stacked neighbors; BatchNorm
+      statistics pool over all neighbors, matching torchbox3d).
+    - eval: per-neighbor block-matmul accumulation — never materializes the
+      (B, H, W, 9, C) buffer; BatchNorm uses running statistics so the
+      result is mathematically identical.
     """
 
     out_channels: int
     num_neighbors: int = 3
     num_layers: int = 2
+    inference_accumulate: bool = True  # loop-accumulate eval path
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, features: Array, cart: Array, *, train: bool) -> Array:
+        C = self.out_channels
+        n = self.num_neighbors
+        nn2 = n * n
+        pad = n // 2
+
         feats = BasicBlock(
-            self.out_channels,
+            C,
             kernel_size=(1, 1),
             project=True,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(features, train=train)
 
-        n = self.num_neighbors
-        neighbors = extract_neighbors(feats, n)  # (B, H, W, 9, C)
-        coords = extract_neighbors(cart.astype(self.dtype), n)  # (B, H, W, 9, 3)
-        center = coords[:, :, :, n * n // 2 : n * n // 2 + 1, :]
-        rel = coords - center
-
-        pos = rel
-        for i in range(self.num_layers):
-            pos = ConvNormAct(
-                self.out_channels,
+        pos_layers = [
+            ConvNormAct(
+                C,
                 kernel_size=(1, 1),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-            )(pos.reshape(pos.shape[0], pos.shape[1], -1, pos.shape[-1]), train=train)
-            pos = pos.reshape(neighbors.shape[:4] + (self.out_channels,))
-
-        geo = (pos * neighbors).reshape(
-            feats.shape[0], feats.shape[1], feats.shape[2], -1
+                name=f"pos_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        # Fusion layer 1 as an explicit blocked kernel (nn2, C, C): in the
+        # stacked path it is exactly Dense(nn2*C -> C) on the neighbor-major
+        # concat; in the accumulate path each block multiplies one neighbor.
+        fusion1_kernel = self.param(
+            "fusion1_kernel",
+            nn.initializers.lecun_normal(batch_axis=(0,)),
+            (nn2, C, C),
+            self.param_dtype,
         )
-        for i in range(self.num_layers):
-            geo = ConvNormAct(
-                self.out_channels,
+        fusion1_norm = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="fusion1_bn",
+        )
+        rest_fusion = [
+            ConvNormAct(
+                C,
                 kernel_size=(1, 1),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-            )(geo, train=train)
+                name=f"fusion_{i}",
+            )
+            for i in range(1, self.num_layers)
+        ]
+
+        cart = cart.astype(self.dtype)
+        kernel = fusion1_kernel.astype(self.dtype)
+
+        if train or not self.inference_accumulate:
+            neighbors = extract_neighbors(feats, n)  # (B, H, W, 9, C)
+            coords = extract_neighbors(cart, n)  # (B, H, W, 9, 3)
+            center = coords[:, :, :, nn2 // 2 : nn2 // 2 + 1, :]
+            rel = coords - center
+            B, H, W = feats.shape[:3]
+            pos = rel.reshape(B, H, W * nn2, 3)
+            for layer in pos_layers:
+                pos = layer(pos, train=train)
+            pos = pos.reshape(B, H, W, nn2, C)
+            geo = jnp.einsum(
+                "bhwnc,nco->bhwo", pos * neighbors, kernel
+            )
+        else:
+            geo = None
+            idx = 0
+            for dy in range(n):
+                for dx in range(n):
+                    rel = _neighbor_view(cart, dy, dx, pad) - cart
+                    pos = rel
+                    for layer in pos_layers:
+                        pos = layer(pos, train=train)
+                    term = jnp.einsum(
+                        "bhwc,co->bhwo",
+                        pos * _neighbor_view(feats, dy, dx, pad),
+                        kernel[idx],
+                    )
+                    geo = term if geo is None else geo + term
+                    idx += 1
+
+        geo = fusion1_norm(geo)
+        geo = nn.relu(geo.astype(self.dtype))
+        for layer in rest_fusion:
+            geo = layer(geo, train=train)
         return geo
 
 
