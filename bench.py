@@ -57,7 +57,7 @@ def main() -> None:
     # Chunked loop: a bounded in-flight queue (deep queues exhaust HBM
     # workspace), synced by host readback per chunk. The per-chunk readback
     # RPC inflates the measurement slightly — reported fps is conservative.
-    iters, chunk = 24, 4
+    iters, chunk = 24, 6
     t0 = time.perf_counter()
     for i in range(iters):
         res = pipeline(variables, feats, cart, mask)

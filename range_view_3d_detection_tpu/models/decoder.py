@@ -140,4 +140,5 @@ def decode(
         iou_threshold=cfg.nms_threshold,
         min_confidence=cfg.min_confidence,
         mode=cfg.nms_mode,
+        num_post_nms=cfg.num_post_nms,
     )

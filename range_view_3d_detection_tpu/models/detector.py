@@ -75,6 +75,11 @@ class DetectorConfig:
     targets: TargetsConfig = TargetsConfig()
     max_boxes: int = 256
     dtype: str = "bfloat16"
+    # Rematerialize the forward during backward (jax.checkpoint): trades one
+    # extra forward pass for activation memory — the v5e has 16 GB HBM vs
+    # the reference A40's 48 GB, so the reference's batch-4-per-device
+    # recipe needs this on TPU.
+    remat: bool = False
 
     @property
     def tasks_dict(self) -> Dict[int, Tuple[str, ...]]:

@@ -72,6 +72,7 @@ def _use_pallas_default() -> bool:
         "min_confidence",
         "mode",
         "backend",
+        "num_post_nms",
     ),
 )
 def multiclass_nms(
@@ -86,6 +87,7 @@ def multiclass_nms(
     min_confidence: float = 0.1,
     mode: str = "WEIGHTED",
     backend: str = "auto",
+    num_post_nms: int = 0,
 ) -> NMSResult:
     """Single-image multi-class NMS with fixed output size.
 
@@ -163,6 +165,7 @@ def multiclass_nms(
             merged[:, 8] if mode.upper() == "WEIGHTED" else top_scores,
             0.0,
         )
+        keep = _apply_post_nms_cap(keep, out_scores, num_post_nms)
         return NMSResult(
             cuboids=out_cuboids, scores=out_scores, categories=cats, keep=keep
         )
@@ -211,9 +214,20 @@ def multiclass_nms(
     out_scores = jnp.where(
         keep, merged[:, 8] if mode.upper() == "WEIGHTED" else top_scores, 0.0
     )
+    keep = _apply_post_nms_cap(keep, out_scores, num_post_nms)
     return NMSResult(
         cuboids=out_cuboids, scores=out_scores, categories=cats, keep=keep
     )
+
+
+def _apply_post_nms_cap(keep: Array, scores: Array, num_post_nms: int) -> Array:
+    """Keep only the top ``num_post_nms`` detections by score
+    (post-NMS topk, reference nms.py:53-57/113-117; 0 disables)."""
+    if num_post_nms <= 0 or num_post_nms >= keep.shape[0]:
+        return keep
+    masked = jnp.where(keep, scores, -jnp.inf)
+    thresh = jax.lax.top_k(masked, num_post_nms)[0][-1]
+    return keep & (masked >= thresh)
 
 
 def batched_multiclass_nms(

@@ -65,18 +65,30 @@ def create_state(
 def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
     model = Detector(config)
 
+    def apply_model(params, batch_stats, features, cart, mask):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            features,
+            cart,
+            mask,
+            train=True,
+            mutable=["batch_stats"],
+        )
+
+    if config.remat:
+        apply_model = jax.checkpoint(apply_model)
+
     @jax.jit
     def train_step(
         state: TrainState, batch: Dict[str, Array]
     ) -> Tuple[TrainState, Dict[str, Array]]:
         def loss_fn(params):
-            outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+            outputs, mutated = apply_model(
+                params,
+                state.batch_stats,
                 batch["features"],
                 batch["cart"],
                 batch["mask"],
-                train=True,
-                mutable=["batch_stats"],
             )
             loss, metrics = detection_loss(outputs, batch, config)
             return loss, (metrics, mutated["batch_stats"])
