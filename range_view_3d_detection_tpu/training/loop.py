@@ -46,6 +46,10 @@ from range_view_3d_detection_tpu.utils.logging import MetricsLogger
 logger = logging.getLogger(__name__)
 
 
+def _is_number(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
 def flatten_detections(result, uuids, categories) -> Dict[str, np.ndarray]:
     """NMSResult (B, cap, ...) -> flat prediction columns with uuid joins.
 
@@ -166,6 +170,17 @@ class Trainer:
 
         self.train_log_freq = int(cfg["model"].get("train_log_freq", 100))
         self.state: Optional[TrainState] = None
+
+        # Persist hyperparameters (save_hyperparameters parity,
+        # detector.py:143-158): flattened config at step 0 + full JSON.
+        import json
+
+        from range_view_3d_detection_tpu.utils.config import flatten
+
+        (run_dir / "config.json").write_text(json.dumps(cfg, default=str))
+        self.logger.log(
+            {k: v for k, v in flatten(cfg).items() if _is_number(v)}, 0
+        )
 
     def _init_state(self, sample_batch) -> TrainState:
         from range_view_3d_detection_tpu.parallel.mesh import (

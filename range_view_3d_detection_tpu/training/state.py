@@ -78,7 +78,9 @@ def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
     if config.remat:
         apply_model = jax.checkpoint(apply_model)
 
-    @jax.jit
+    # Donate the previous state: params/opt-state buffers are reused
+    # in-place (ignored on CPU; saves ~0.5 GB HBM for the flagship).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(
         state: TrainState, batch: Dict[str, Array]
     ) -> Tuple[TrainState, Dict[str, Array]]:

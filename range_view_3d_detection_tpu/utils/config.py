@@ -231,6 +231,19 @@ def resolve_interpolations(cfg: Dict[str, Any], max_passes: int = 8) -> Dict[str
 # ---------------------------------------------------------------------------
 
 
+def flatten(cfg: Dict[str, Any], parent_key: str = "") -> Dict[str, Any]:
+    """Flatten a nested config for hparam logging
+    (``utils/hydra.py::flatten`` parity, 13-38)."""
+    out: Dict[str, Any] = {}
+    for k, v in cfg.items():
+        key = f"{parent_key}.{k}" if parent_key else str(k)
+        if isinstance(v, dict):
+            out.update(flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
 def parse_value(text: str) -> Any:
     return yaml.safe_load(text)
 

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI: score prediction shards against a GT split.
+
+Usage:
+    python tools/evaluate.py --pred-dir RUN/predictions \\
+        --gt-dir ~/data/datasets/av2/sensor/val \\
+        [--dataset av2|waymo] [--categories A,B,C]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pred-dir", required=True)
+    ap.add_argument("--gt-dir", required=True)
+    ap.add_argument("--dataset", default="av2", choices=["av2", "waymo"])
+    ap.add_argument("--categories", default=None)
+    args = ap.parse_args()
+
+    from range_view_3d_detection_tpu.evaluation.av2_eval import (
+        load_ground_truth,
+        load_predictions,
+    )
+
+    dts = load_predictions(Path(args.pred_dir))
+    gts = load_ground_truth(Path(args.gt_dir))
+    if args.categories:
+        categories = args.categories.split(",")
+    else:
+        import numpy as np
+
+        categories = sorted(np.unique(gts["category"]).tolist())
+
+    if args.dataset == "av2":
+        from range_view_3d_detection_tpu.evaluation.av2_eval import evaluate
+
+        metrics = evaluate(dts, gts, categories)
+    else:
+        from range_view_3d_detection_tpu.evaluation.waymo_eval import (
+            evaluate_waymo,
+            mean_ap,
+        )
+
+        metrics = evaluate_waymo(dts, gts, categories)
+        metrics["mAP_L2"] = mean_ap(metrics, level=2)
+
+    print(json.dumps(metrics, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()
