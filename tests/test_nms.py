@@ -141,3 +141,19 @@ def test_min_confidence_filter():
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cats), cap=8, block=4
     )
     assert np.asarray(res.keep).sum() == 0
+
+
+def test_post_nms_cap():
+    boxes = _random_boxes(32, seed=11, spread=200.0)  # all disjoint
+    scores = np.linspace(0.9, 0.2, 32).astype(np.float32)
+    cats = np.zeros(32, np.int32)
+    res = multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cats),
+        cap=32, block=8, num_post_nms=5,
+    )
+    keep = np.asarray(res.keep)
+    assert keep.sum() == 5
+    # The survivors are the 5 highest-scoring boxes.
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res.scores)[keep])[::-1], scores[:5], atol=1e-5
+    )
