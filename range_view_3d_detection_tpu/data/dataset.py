@@ -412,18 +412,22 @@ class DataLoader:
         seed: int = 0,
         num_workers: int = 2,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # per-process batch size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -434,6 +438,10 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
         self.epoch += 1
+        if self.process_count > 1:
+            # Deterministic per-host shard of the (identically shuffled)
+            # global index — the DDP DistributedSampler analog.
+            order = order[self.process_index :: self.process_count]
         batches = []
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]

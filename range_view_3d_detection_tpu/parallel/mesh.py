@@ -50,8 +50,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch onto the mesh, batch-axis sharded."""
+    """Place a host batch onto the mesh, batch-axis sharded.
+
+    Single-host: plain ``device_put``. Multi-host: each process passes its
+    *local* slice of the global batch and the global array is assembled
+    with ``make_array_from_process_local_data`` (the SPMD analog of DDP's
+    per-rank loaders).
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

@@ -127,13 +127,25 @@ class Trainer:
         self.mesh = make_mesh(num_data=n_dev)
         self.global_batch = self.batch_size * n_dev
 
+        # Per-process loaders: each host loads its shard of the global
+        # batch; shard_batch assembles the global array over the mesh.
+        local_batch = self.global_batch // jax.process_count()
         self.train_ds = RangeViewDataset(build_dataset_config(cfg, "train"))
         self.val_ds = RangeViewDataset(build_dataset_config(cfg, "val"))
         self.train_loader = DataLoader(
-            self.train_ds, self.global_batch, shuffle=True
+            self.train_ds,
+            local_batch,
+            shuffle=True,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         self.val_loader = DataLoader(
-            self.val_ds, self.global_batch, shuffle=False, drop_last=False
+            self.val_ds,
+            local_batch,
+            shuffle=False,
+            drop_last=False,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
 
         self.max_epochs = int(cfg["trainer"].get("max_epochs", 20))
