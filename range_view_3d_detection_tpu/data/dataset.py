@@ -94,6 +94,7 @@ class RangeViewDataset:
         self._category_map = self._build_category_map()
         self.index = self._build_index()
         self._filter_train_index()
+        self.epoch = 0  # set by the loader; varies augmentation draws
         self._db = None
         if cfg.enable_database and cfg.split_name == "train":
             from range_view_3d_detection_tpu.data.database import (
@@ -303,7 +304,9 @@ class RangeViewDataset:
         ann = self._load_annotations(log_id, ts)
         boxes, box_cats = self._boxes_from_annotations(ann)
 
-        rng = np.random.default_rng(np.random.SeedSequence([self.cfg.seed, idx]))
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.cfg.seed, self.epoch, idx])
+        )
         if self.cfg.split_name == "train" and self.cfg.augmentations:
             names = list(self.cfg.range_view.feature_column_names)
             sweep, boxes = augs.apply_augmentations(
@@ -437,6 +440,7 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        self.dataset.epoch = self.epoch  # fresh augmentation draws per epoch
         self.epoch += 1
         if self.process_count > 1:
             # Deterministic per-host shard of the (identically shuffled)

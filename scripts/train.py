@@ -56,9 +56,10 @@ def main(argv: list[str]) -> None:
             evaluate_predictions,
         )
 
+        eval_split = cfg["dataset"]["_val_dataset"].get("split_name", "val")
         metrics = evaluate_predictions(
             pred_dir,
-            Path(cfg["dataset"]["root_dir"]) / "val",
+            Path(cfg["dataset"]["root_dir"]) / eval_split,
             categories=trainer.categories,
         )
         for k, v in metrics.items():

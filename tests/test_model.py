@@ -105,6 +105,9 @@ def test_forward_shapes(setup):
 def test_train_step_and_overfit(setup):
     cfg, batch, tx, st = setup
     step = state_lib.make_train_step(cfg, tx)
+    # The train step donates its input state; other tests reuse the shared
+    # fixture, so hand the step a copy.
+    st = jax.tree_util.tree_map(jnp.copy, st)
     st1, m0 = step(st, batch)
     assert np.isfinite(float(m0["loss"]))
     losses = [float(m0["loss"])]
