@@ -40,6 +40,7 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent.parent
 sys.path.insert(0, str(REPO))
 
+from converters.av2.log_corrections import correct_laser_numbers
 from converters.av2.row_mappings import ROW_MAPPING_32, ROW_MAPPING_64
 from range_view_3d_detection_tpu.data.native_io import z_buffer_native
 from range_view_3d_detection_tpu.utils.feather import read_feather, write_feather
@@ -122,12 +123,15 @@ def build_range_view(
     sweep_ts: int,
     poses: Optional[Dict[str, np.ndarray]],
     roi_fn=None,
+    log_id: str = "",
 ) -> Dict[str, np.ndarray]:
     """Project one sweep into the (height x width) range image."""
     xyz = np.stack([sweep["x"], sweep["y"], sweep["z"]], axis=-1).astype(
         np.float64
     )
-    laser = sweep["laser_number"].astype(np.int64)
+    laser = correct_laser_numbers(
+        sweep["laser_number"].astype(np.int64), log_id
+    )
     offsets = sweep.get("offset_ns", np.zeros(len(laser), np.int64))
 
     if height == 32:
@@ -185,7 +189,12 @@ def export_log(
         ts = int(sweep_path.stem)
         sweep = read_feather(sweep_path)
         cols = build_range_view(
-            sweep, height=height, width=width, sweep_ts=ts, poses=poses
+            sweep,
+            height=height,
+            width=width,
+            sweep_ts=ts,
+            poses=poses,
+            log_id=log_dir.stem,
         )
         write_feather(
             dst_log_dir / "sensors" / "range_view" / f"{ts}.feather", cols

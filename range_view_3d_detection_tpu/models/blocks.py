@@ -13,6 +13,7 @@ explicit collective code — XLA inserts the cross-device reductions.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
@@ -21,6 +22,18 @@ import jax.numpy as jnp
 from jax import Array
 
 Dtype = Any
+
+
+# Experimental knob: BatchNorm compute dtype (fp32 default; set
+# RVT_BN_DTYPE=bfloat16 to measure the fp32-bounce cost on TPU).
+def _bn_dtype():
+    import jax.numpy as jnp
+
+    return (
+        jnp.bfloat16
+        if os.environ.get("RVT_BN_DTYPE") == "bfloat16"
+        else jnp.float32
+    )
 
 
 def _pair(v) -> Tuple[int, int]:
@@ -111,7 +124,7 @@ class ConvNormAct(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=_bn_dtype(),
                 param_dtype=jnp.float32,
             )(y)
             y = y.astype(self.dtype)
@@ -222,7 +235,7 @@ class AggregationBlock(nn.Module):
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=_bn_dtype(),
             param_dtype=jnp.float32,
         )(y)
         y = nn.relu(y.astype(self.dtype))
