@@ -25,9 +25,15 @@ Dtype = Any
 
 
 class RangeBackbone(nn.Module):
-    """DLA-style backbone over stem features (``dla.py:16-131``)."""
+    """DLA-style backbone over stem features (``dla.py:16-131``).
+
+    ``remat=True`` checkpoints each stage (nn.remat): activations inside a
+    stage are recomputed during backward — the TPU (16 GB HBM) analog of
+    fitting the reference's A40 (48 GB) batch recipe.
+    """
 
     layers: Sequence[int]  # 5 stage widths
+    remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -35,39 +41,39 @@ class RangeBackbone(nn.Module):
     def __call__(self, features: Array, *, train: bool) -> Dict[int, Array]:
         ch = list(self.layers)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-
-        res1 = ResidualBlock(ch[0], num_blocks=2, strides=(1, 1), **kw)(
-            features, train=train
+        RB = (
+            nn.remat(ResidualBlock, static_argnums=(2,), prevent_cse=False)
+            if self.remat
+            else ResidualBlock
         )
-        res2a = ResidualBlock(ch[1], num_blocks=3, strides=(1, 2), **kw)(
-            res1, train=train
-        )
-        res2 = ResidualBlock(ch[2], num_blocks=3, strides=(1, 2), **kw)(
-            res2a, train=train
-        )
-        res3a = ResidualBlock(ch[3], num_blocks=5, strides=(1, 2), **kw)(
-            res2, train=train
-        )
-        res3 = ResidualBlock(ch[4], num_blocks=5, strides=(1, 2), **kw)(
-            res3a, train=train
+        AB = (
+            nn.remat(AggregationBlock, static_argnums=(3,), prevent_cse=False)
+            if self.remat
+            else AggregationBlock
         )
 
-        agg2 = AggregationBlock(
+        res1 = RB(ch[0], num_blocks=2, strides=(1, 1), **kw)(features, train)
+        res2a = RB(ch[1], num_blocks=3, strides=(1, 2), **kw)(res1, train)
+        res2 = RB(ch[2], num_blocks=3, strides=(1, 2), **kw)(res2a, train)
+        res3a = RB(ch[3], num_blocks=5, strides=(1, 2), **kw)(res2, train)
+        res3 = RB(ch[4], num_blocks=5, strides=(1, 2), **kw)(res3a, train)
+
+        agg2 = AB(
             ch[2], kernel_size=(3, 8), strides=(1, 4), padding=(1, 2), num_blocks=2,
             **kw,
-        )(res2, res3, train=train)
-        agg1 = AggregationBlock(
+        )(res2, res3, train)
+        agg1 = AB(
             ch[0], kernel_size=(3, 8), strides=(1, 4), padding=(1, 2), num_blocks=2,
             **kw,
-        )(res1, res2, train=train)
-        agg2a = AggregationBlock(
+        )(res1, res2, train)
+        agg2a = AB(
             ch[1], kernel_size=(3, 4), strides=(1, 2), padding=(1, 1), num_blocks=1,
             **kw,
-        )(res2a, agg2, train=train)
-        agg3 = AggregationBlock(
+        )(res2a, agg2, train)
+        agg3 = AB(
             ch[0], kernel_size=(3, 4), strides=(1, 2), padding=(1, 1), num_blocks=2,
             **kw,
-        )(agg1, agg2a, train=train)
+        )(agg1, agg2a, train)
 
         agg3 = jnp.concatenate([features, agg3], axis=-1)
         return {1: agg3, 2: agg2a, 4: agg2, 16: res3}
@@ -84,6 +90,7 @@ class RangeNet(nn.Module):
     num_neighbors: int = 3
     num_layers: int = 2
     projection_kernel_size: int = 1
+    remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -119,4 +126,6 @@ class RangeNet(nn.Module):
             )(features, train=train)
         else:
             raise NotImplementedError(f"stem_type={self.stem_type}")
-        return RangeBackbone(self.layers, **kw)(stem, train=train)
+        return RangeBackbone(self.layers, remat=self.remat, **kw)(
+            stem, train=train
+        )

@@ -106,7 +106,7 @@ class ConvNormAct(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         use_bias = (not self.norm) if self.use_bias is None else self.use_bias
         y = nn.Conv(
             self.features,
@@ -149,7 +149,7 @@ class BasicBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         y = ConvNormAct(
             self.features,
             kernel_size=self.kernel_size,
@@ -190,7 +190,7 @@ class ResidualBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         x = BasicBlock(
             self.features,
             kernel_size=self.kernel_size,
@@ -222,7 +222,7 @@ class AggregationBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x1: Array, x2: Array, *, train: bool) -> Array:
+    def __call__(self, x1: Array, x2: Array, train: bool = False) -> Array:
         y = TorchConvTranspose(
             self.features,
             kernel_size=self.kernel_size,

@@ -75,10 +75,9 @@ class DetectorConfig:
     targets: TargetsConfig = TargetsConfig()
     max_boxes: int = 256
     dtype: str = "bfloat16"
-    # Rematerialize the forward during backward (jax.checkpoint): trades one
-    # extra forward pass for activation memory — the v5e has 16 GB HBM vs
-    # the reference A40's 48 GB, so the reference's batch-4-per-device
-    # recipe needs this on TPU.
+    # Rematerialize per backbone-stage / head-tower during backward
+    # (nn.remat): trades recompute for activation memory — the v5e has
+    # 16 GB HBM vs the reference A40's 48 GB.
     remat: bool = False
 
     @property
@@ -117,6 +116,7 @@ class Detector(nn.Module):
             num_neighbors=cfg.num_neighbors,
             num_layers=cfg.num_stem_layers,
             projection_kernel_size=cfg.projection_kernel_size,
+            remat=cfg.remat,
             dtype=dt,
             param_dtype=jnp.float32,
         )(features, cart, maskf, train=train)
@@ -130,6 +130,7 @@ class Detector(nn.Module):
             num_classification_blocks=cfg.num_classification_blocks,
             num_regression_blocks=cfg.num_regression_blocks,
             final_kernel_size=cfg.final_kernel_size,
+            remat=cfg.remat,
             dtype=dt,
             param_dtype=jnp.float32,
         )(multiscale, train=train)

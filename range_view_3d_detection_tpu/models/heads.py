@@ -39,7 +39,7 @@ class DenseHead(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         init = nn.initializers.normal(stddev=0.01)
         for _ in range(self.num_blocks):
             x = ConvNormAct(
@@ -84,6 +84,7 @@ class DetectionHead(nn.Module):
     num_regression_blocks: int = 4
     final_kernel_size: int = 1
     num_regressands: int = 8
+    remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -91,6 +92,11 @@ class DetectionHead(nn.Module):
     def __call__(
         self, multiscale_features: Dict[int, Array], *, train: bool
     ) -> Dict[int, Dict[int, Dict[str, Array]]]:
+        head_cls = (
+            nn.remat(DenseHead, static_argnums=(2,), prevent_cse=False)
+            if self.remat
+            else DenseHead
+        )
         out: Dict[int, Dict[int, Dict[str, Array]]] = {}
         for stride in self.fpn.keys():
             stride = int(stride)
@@ -99,7 +105,7 @@ class DetectionHead(nn.Module):
             out[stride] = {}
             for task_id, categories in self.tasks.items():
                 task_id = int(task_id)
-                logits = DenseHead(
+                logits = head_cls(
                     self.classification_head_channels,
                     num_outputs=len(categories),
                     kernel_size=ks,
@@ -109,8 +115,8 @@ class DetectionHead(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"cls_s{stride}_t{task_id}",
-                )(feats, train=train)
-                regressands = DenseHead(
+                )(feats, train)
+                regressands = head_cls(
                     self.regression_head_channels,
                     num_outputs=self.num_regressands,
                     kernel_size=ks,
@@ -119,7 +125,7 @@ class DetectionHead(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"reg_s{stride}_t{task_id}",
-                )(feats, train=train)
+                )(feats, train)
                 out[stride][task_id] = {
                     "logits": logits,
                     "regressands": regressands,

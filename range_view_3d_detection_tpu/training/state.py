@@ -66,6 +66,8 @@ def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
     model = Detector(config)
 
     def apply_model(params, batch_stats, features, cart, mask):
+        # Per-stage rematerialization (config.remat) is wired inside the
+        # modules via nn.remat.
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             features,
@@ -74,9 +76,6 @@ def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
             train=True,
             mutable=["batch_stats"],
         )
-
-    if config.remat:
-        apply_model = jax.checkpoint(apply_model)
 
     # Donate the previous state: params/opt-state buffers are reused
     # in-place (ignored on CPU; saves ~0.5 GB HBM for the flagship).

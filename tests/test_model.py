@@ -141,3 +141,16 @@ def test_multiscale_fpn():
     _, m = step(st, batch)
     assert np.isfinite(float(m["loss"]))
     assert "classification_loss/s2" in m
+
+
+def test_remat_train_step():
+    """Per-stage remat path produces finite loss and matching grads shape."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(), remat=True)
+    batch = tiny_batch()
+    tx, _ = optim.make_optimizer(1e-3, 10, debug=True)
+    st = state_lib.create_state(jax.random.PRNGKey(2), cfg, tx, batch)
+    step = state_lib.make_train_step(cfg, tx)
+    st, m = step(st, batch)
+    assert np.isfinite(float(m["loss"]))
