@@ -69,6 +69,7 @@ class DatasetConfig:
     x_stride: int = 1
     padding_mode: str = "constant"  # constant | circular
     augmentations: Optional[Dict[str, Dict[str, float]]] = None
+    use_median_filter: bool = False  # 3x3 median over the range channel
     use_repeat_factor_sampling: bool = False
     min_points_filter: int = 0  # Waymo <50k-point sweep filter analog
     enable_database: bool = False  # GT-paste augmentation (loader.py:672-686)
@@ -253,6 +254,20 @@ class RangeViewDataset:
         if "timedelta_ns" in feature_names:
             i = feature_names.index("timedelta_ns")
             feats[..., i] = feats[..., i] * 1e-9
+
+        if self.cfg.use_median_filter:
+            # Despeckle the range channel (the reference's
+            # use_median_filter config flag; off by default).
+            from scipy.ndimage import median_filter
+
+            filtered = median_filter(rng_img, size=3, mode="wrap")
+            # Only replace isolated outliers; keep empty pixels empty.
+            outlier = (rng_img > 0) & (
+                np.abs(rng_img - filtered) > 0.5 * np.maximum(filtered, 1.0)
+            )
+            rng_img = np.where(outlier, filtered, rng_img)
+            if "range" in feature_names:
+                feats[..., feature_names.index("range")] = rng_img
 
         return {
             "features": feats,

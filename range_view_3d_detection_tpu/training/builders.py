@@ -152,6 +152,7 @@ def build_dataset_config(cfg: Dict[str, Any], split: str) -> DatasetConfig:
             if split == "train"
             else None
         ),
+        use_median_filter=bool(d.get("use_median_filter", False)),
         use_repeat_factor_sampling=bool(
             d.get("use_repeat_factor_sampling", False)
         ),
