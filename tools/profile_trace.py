@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the flagship forward and print top ops.
+
+The tunnel-friendly replacement for the reference's nsight/cuda-sync
+profiling (SURVEY §5): writes an xplane/trace to --out and aggregates
+device fusion durations.
+
+Usage: python tools/profile_trace.py [--out /tmp/fwd_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+
+def summarize(trace_dir: str, top: int = 30) -> None:
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        print("no trace files found")
+        return
+    data = json.load(gzip.open(files[-1]))
+    agg = collections.Counter()
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "X" and e.get("dur", 0) > 0:
+            agg[e["name"]] += e["dur"]
+    device = [(n, d) for n, d in agg.most_common() if n.startswith("fusion")]
+    total = sum(d for _, d in device)
+    print(f"device fusion total: {total/1e3:.2f} ms over {len(device)} fusions")
+    for name, dur in device[:top]:
+        print(f"  {dur/1e3:8.2f} ms  {name}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/fwd_trace")
+    ap.add_argument("--summarize-only", action="store_true")
+    args = ap.parse_args()
+
+    if not args.summarize_only:
+        from __graft_entry__ import _flagship_config, _sample_inputs
+        from range_view_3d_detection_tpu.models.detector import Detector
+
+        cfg = _flagship_config()
+        model = Detector(cfg)
+        f, c, m = _sample_inputs(1, 64, 1808, 5)
+        variables = model.init(jax.random.PRNGKey(0), f, c, m, train=False)
+        fwd = jax.jit(lambda v, a, b, d: model.apply(v, a, b, d, train=False))
+        out = fwd(variables, f, c, m)
+        float(jax.tree_util.tree_leaves(out)[0].sum())
+        with jax.profiler.trace(args.out):
+            out = fwd(variables, f, c, m)
+            float(jax.tree_util.tree_leaves(out)[0].sum())
+    summarize(args.out)
+
+
+if __name__ == "__main__":
+    main()
