@@ -12,25 +12,27 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.feather as paf
+import pyarrow.ipc as paipc
 
 
 def read_feather(
     path: str | Path, columns: Optional[Sequence[str]] = None
 ) -> Dict[str, np.ndarray]:
-    """Read a feather file into a dict of numpy columns."""
-    table = paf.read_table(str(path), columns=list(columns) if columns else None)
+    """Read a feather (Arrow IPC file) into a dict of numpy columns."""
+    with pa.memory_map(str(path)) as source:
+        table = paipc.open_file(source).read_all()
+    if columns:
+        table = table.select(list(columns))
     out: Dict[str, np.ndarray] = {}
     for name in table.column_names:
-        col = table.column(name)
-        out[name] = col.to_numpy(zero_copy_only=False)
+        out[name] = table.column(name).to_numpy(zero_copy_only=False)
     return out
 
 
 def write_feather(path: str | Path, columns: Dict[str, np.ndarray]) -> None:
-    """Write a dict of equal-length numpy columns as feather."""
+    """Write a dict of equal-length numpy columns as feather (Arrow IPC)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    arrays = {k: pa.array(v) for k, v in columns.items()}
-    table = pa.table(arrays)
-    paf.write_feather(table, str(path))
+    table = pa.table({k: pa.array(v) for k, v in columns.items()})
+    with paipc.new_file(str(path), table.schema) as writer:
+        writer.write_table(table)
