@@ -190,3 +190,74 @@ def test_batched_api():
     np.testing.assert_array_equal(
         np.asarray(out[1][0].labels[0]), np.asarray(out[1][0].labels[1])
     )
+
+
+def test_range_fpn_assignment():
+    """RANGE mode gates boxes by center range per FPN stride."""
+    cart, valid, boxes, box_valid, box_task, box_offset = _make_scene(6)
+    dists = np.linalg.norm(boxes[:, :3], axis=-1)
+    # Partition excluding every real box -> no assignments.
+    got = tgt_ops.compute_targets_single(
+        jnp.asarray(cart), jnp.asarray(valid), jnp.asarray(boxes),
+        jnp.asarray(box_valid), jnp.asarray(box_task), jnp.asarray(box_offset),
+        task_id=0, num_categories=3, stride=1,
+        fpn_assignment_method="RANGE",
+        range_partition=(1000.0, 2000.0),
+    )
+    assert int(got.num_objects) == 0
+    # Partition covering all boxes == unfiltered result.
+    got_all = tgt_ops.compute_targets_single(
+        jnp.asarray(cart), jnp.asarray(valid), jnp.asarray(boxes),
+        jnp.asarray(box_valid), jnp.asarray(box_task), jnp.asarray(box_offset),
+        task_id=0, num_categories=3, stride=1,
+        fpn_assignment_method="RANGE",
+        range_partition=(0.0, float("inf")),
+    )
+    base = tgt_ops.compute_targets_single(
+        jnp.asarray(cart), jnp.asarray(valid), jnp.asarray(boxes),
+        jnp.asarray(box_valid), jnp.asarray(box_task), jnp.asarray(box_offset),
+        task_id=0, num_categories=3, stride=1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_all.winner_index), np.asarray(base.winner_index)
+    )
+    # Partial gate keeps only in-range boxes.
+    mid = float(np.median(dists[box_valid]))
+    got_mid = tgt_ops.compute_targets_single(
+        jnp.asarray(cart), jnp.asarray(valid), jnp.asarray(boxes),
+        jnp.asarray(box_valid), jnp.asarray(box_task), jnp.asarray(box_offset),
+        task_id=0, num_categories=3, stride=1,
+        fpn_assignment_method="RANGE",
+        range_partition=(0.0, mid),
+    )
+    winners = np.unique(np.asarray(got_mid.winner_index))
+    for w in winners[winners >= 0]:
+        assert dists[w] <= mid
+
+
+def test_points_fpn_assignment():
+    """POINTS mode gates boxes by full-res interior count."""
+    cart, valid, boxes, box_valid, box_task, box_offset = _make_scene(7)
+    base = tgt_ops.compute_targets_single(
+        jnp.asarray(cart), jnp.asarray(valid), jnp.asarray(boxes),
+        jnp.asarray(box_valid), jnp.asarray(box_task), jnp.asarray(box_offset),
+        task_id=0, num_categories=3, stride=1,
+    )
+    counts = {}
+    win = np.asarray(base.winner_index)
+    ppo = np.asarray(base.points_per_obj)
+    for w in np.unique(win[win >= 0]):
+        counts[int(w)] = int(ppo[win == w].max())
+    if not counts:
+        return
+    thresh = float(np.median(list(counts.values())))
+    got = tgt_ops.compute_targets_single(
+        jnp.asarray(cart), jnp.asarray(valid), jnp.asarray(boxes),
+        jnp.asarray(box_valid), jnp.asarray(box_task), jnp.asarray(box_offset),
+        task_id=0, num_categories=3, stride=1,
+        fpn_assignment_method="POINTS",
+        point_interval=(thresh, float("inf")),
+    )
+    win2 = np.unique(np.asarray(got.winner_index))
+    for w in win2[win2 >= 0]:
+        assert counts.get(int(w), 0) > thresh
