@@ -152,10 +152,32 @@ class Detector(nn.Module):
         return {"head": head_out, "strided": strided}
 
 
+def compute_batch_targets(batch: Dict[str, Array], cfg: DetectorConfig):
+    """Geometric targets for a batch (param-independent; callers may hoist
+    this outside the differentiated region so the interior-mask buffers
+    drop out of the backward's live set)."""
+    tc = cfg.targets
+    return targets_ops.compute_targets(
+        batch["cart"],
+        batch["mask"],
+        batch["boxes"],
+        batch["box_valid"],
+        batch["box_task"],
+        batch["box_offset"],
+        tasks=cfg.tasks_dict,
+        fpn_strides=cfg.fpn_strides,
+        azimuth_invariant=tc.enable_azimuth_invariant_targets,
+        fpn_assignment_method=tc.fpn_assignment_method,
+        range_partitions=dict(tc.range_partitions),
+        point_intervals=dict(tc.point_intervals),
+    )
+
+
 def detection_loss(
     outputs: Dict[str, Any],
     batch: Dict[str, Array],
     cfg: DetectorConfig,
+    tgts=None,
 ) -> Tuple[Array, Dict[str, Array]]:
     """Total training loss (parity with ``DetectionHead.loss`` +
     ``reduce_multiscale_loss``, detection_head.py:202-449).
@@ -168,20 +190,8 @@ def detection_loss(
     strides = cfg.fpn_strides
     tc = cfg.targets
 
-    tgts = targets_ops.compute_targets(
-        batch["cart"],
-        batch["mask"],
-        batch["boxes"],
-        batch["box_valid"],
-        batch["box_task"],
-        batch["box_offset"],
-        tasks=tasks,
-        fpn_strides=strides,
-        azimuth_invariant=tc.enable_azimuth_invariant_targets,
-        fpn_assignment_method=tc.fpn_assignment_method,
-        range_partitions=dict(tc.range_partitions),
-        point_intervals=dict(tc.point_intervals),
-    )
+    if tgts is None:
+        tgts = compute_batch_targets(batch, cfg)
 
     # Pass 1: global normalizers (reduce_multiscale_loss:388-412).
     total_objects = jnp.zeros((), jnp.float32)

@@ -21,6 +21,7 @@ from range_view_3d_detection_tpu.models.decoder import DecoderConfig, decode
 from range_view_3d_detection_tpu.models.detector import (
     Detector,
     DetectorConfig,
+    compute_batch_targets,
     detection_loss,
 )
 
@@ -83,6 +84,11 @@ def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
     def train_step(
         state: TrainState, batch: Dict[str, Array]
     ) -> Tuple[TrainState, Dict[str, Array]]:
+        # Targets are param-independent: compute them outside the
+        # differentiated closure so their buffers (interior masks etc.)
+        # are free to be released before the backward pass.
+        tgts = jax.lax.stop_gradient(compute_batch_targets(batch, config))
+
         def loss_fn(params):
             outputs, mutated = apply_model(
                 params,
@@ -91,7 +97,7 @@ def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
                 batch["cart"],
                 batch["mask"],
             )
-            loss, metrics = detection_loss(outputs, batch, config)
+            loss, metrics = detection_loss(outputs, batch, config, tgts=tgts)
             return loss, (metrics, mutated["batch_stats"])
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
