@@ -44,13 +44,9 @@ def _np_quat_to_yaw(qw, qx, qy, qz):
 
 
 def _bev_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
+    from range_view_3d_detection_tpu.evaluation.iou_np import iou_rotated_bev_np
 
-    from range_view_3d_detection_tpu.ops.iou import iou_rotated_bev
-
-    return np.asarray(
-        iou_rotated_bev(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
-    )
+    return iou_rotated_bev_np(a, b)
 
 
 def _boxes_bev(frame: Dict[str, np.ndarray]) -> np.ndarray:

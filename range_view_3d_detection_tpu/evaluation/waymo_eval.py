@@ -40,16 +40,11 @@ LEVEL2_MAX_POINTS = 5
 
 
 def _bev_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
+    # Pure numpy: per-sweep shapes vary constantly; a jitted IoU would
+    # recompile per shape.
+    from range_view_3d_detection_tpu.evaluation.iou_np import iou_rotated_bev_np
 
-    from range_view_3d_detection_tpu.ops.iou import iou_rotated_bev
-
-    return np.asarray(
-        iou_rotated_bev(
-            jnp.asarray(a[:, [0, 1, 3, 4, 6]], jnp.float32),
-            jnp.asarray(b[:, [0, 1, 3, 4, 6]], jnp.float32),
-        )
-    )
+    return iou_rotated_bev_np(a[:, [0, 1, 3, 4, 6]], b[:, [0, 1, 3, 4, 6]])
 
 
 def _iou3d(a: np.ndarray, b: np.ndarray) -> np.ndarray:

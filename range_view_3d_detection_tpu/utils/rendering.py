@@ -79,15 +79,9 @@ def draw_bev(
 
 
 def _best_iou3d(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
+    from range_view_3d_detection_tpu.evaluation.iou_np import iou_rotated_bev_np
 
-    from range_view_3d_detection_tpu.ops.iou import iou_rotated_bev
-
-    bev_p = pred[:, [0, 1, 3, 4, 6]]
-    bev_g = gt[:, [0, 1, 3, 4, 6]]
-    iou = np.asarray(
-        iou_rotated_bev(jnp.asarray(bev_p, jnp.float32), jnp.asarray(bev_g, jnp.float32))
-    )
+    iou = iou_rotated_bev_np(pred[:, [0, 1, 3, 4, 6]], gt[:, [0, 1, 3, 4, 6]])
     return iou.max(axis=1) if iou.size else np.zeros(len(pred))
 
 

@@ -106,3 +106,27 @@ def test_iou_3d_vertical_offset():
     # inter = 4 * 1 = 4; union = 8 + 8 - 4 = 12.
     got = np.asarray(iou_ops.iou_3d_aligned(a, b))
     np.testing.assert_allclose(got, [4.0 / 12.0], atol=1e-3)
+
+
+def test_numpy_iou_matches_jax():
+    from range_view_3d_detection_tpu.evaluation.iou_np import iou_rotated_bev_np
+
+    rng = np.random.default_rng(8)
+    a = np.stack(
+        [
+            rng.uniform(-10, 10, 24),
+            rng.uniform(-10, 10, 24),
+            rng.uniform(1, 6, 24),
+            rng.uniform(1, 4, 24),
+            rng.uniform(-np.pi, np.pi, 24),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    b = a + rng.normal(0, 1.0, a.shape).astype(np.float32)
+    want = np.asarray(iou_ops.iou_rotated_bev(jnp.asarray(a), jnp.asarray(b)))
+    got = iou_rotated_bev_np(a, b)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    # self-IoU of identical boxes is 1
+    np.testing.assert_allclose(
+        np.diag(iou_rotated_bev_np(a, a)), 1.0, atol=1e-3
+    )
