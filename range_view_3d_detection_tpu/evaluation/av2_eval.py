@@ -2,27 +2,50 @@
 
 The reference delegates AV2 evaluation to the external ``av2`` package
 (``nn/arch/detector.py:19,472``; config via ``datasets/__init__.py:15-47``).
-That package is not in this image, so the protocol is reimplemented here:
+That package is not installable in this image (zero egress), so the
+protocol is reimplemented here from the AV2 sensor benchmark definition:
 
-- Per (sweep, category): greedy score-ordered matching on 3D center
-  distance at thresholds (0.5, 1.0, 2.0, 4.0) m.
-- AP: 100-point interpolated precision over a uniform recall grid,
-  averaged over the four thresholds.
+- Assignment (per sweep x category): detections sorted by descending
+  score; each detection is assigned its *nearest* ground-truth cuboid by
+  3D center distance; at each affinity threshold (0.5, 1.0, 2.0, 4.0) m a
+  detection is a true positive iff its nearest-GT distance is below the
+  threshold AND it is the highest-scoring detection assigned to that GT
+  (duplicates to the same GT become false positives). Note this is the
+  official devkit's one-shot nearest-neighbor rule — NOT greedy bipartite
+  matching: a detection whose nearest GT was claimed by a higher-scoring
+  detection is a false positive even if some other unmatched GT is within
+  the threshold.
+- AP: interpolated precision (monotone non-increasing envelope) sampled
+  on a uniform 100-point recall grid over [0, 1], zero beyond the maximum
+  achieved recall; averaged over the four thresholds.
 - True-positive errors at the 2.0 m threshold: ATE (center distance),
-  ASE (1 - aligned 3D IoU of dims), AOE (wrapped yaw difference).
+  ASE (1 - aligned 3D IoU of dims), AOE (wrapped yaw difference in
+  [0, pi]). When a category has no true positives the errors take their
+  maxima (2.0 m, 1.0, pi).
 - CDS = AP * mean(1 - ATE/2.0, 1 - ASE, 1 - AOE/pi).
-- GT filtering: range <= 150 m, num_interior_pts > 0
-  (``detection_cfg_factory`` AV2 settings, ``datasets/__init__.py:27-34``).
+- GT filtering: range <= 150 m, num_interior_pts > 0, and — when ROI
+  evaluation is enabled, as it is for AV2
+  (``datasets/__init__.py:27-34``) — only instances inside the mapped
+  region of interest. The official devkit rasterizes the log map; this
+  image has no map data, so ROI membership is carried as a precomputed
+  ``is_within_roi`` column written by the converter and applied to both
+  detections and ground truth when present.
+- Shard-file entry (``evaluate_predictions``) mirrors the reference's
+  ``prepare_for_evaluation`` (``nn/arch/detector.py:547-616``):
+  range-filter, sort by descending score, drop exact duplicate rows, and
+  inner-join BOTH predictions and GT on the valid-uuid set (sweeps that
+  have GT annotations), so sweeps without GT never contribute raw FPs.
 
-Exact numerical parity with the ``av2`` package is tracked as a follow-up
-gate; the protocol (matching rule, thresholds, normalizations) follows the
-AV2 sensor benchmark definition.
+Exact numerical parity with the ``av2`` package cannot be certified in
+this image (the package cannot be installed to record fixtures); instead
+``tests/test_eval_parity.py`` cross-checks this vectorized implementation
+against an independently written brute-force oracle of the same protocol.
 """
 
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -52,38 +75,37 @@ def _aligned_scale_iou(dims_a: np.ndarray, dims_b: np.ndarray) -> np.ndarray:
     return mins / np.maximum(va + vb - mins, 1e-8)
 
 
-def match_sweep(
+def assign_sweep(
     dt_xyz: np.ndarray,
-    dt_scores: np.ndarray,
     gt_xyz: np.ndarray,
-    threshold: float,
+    thresholds: Sequence[float] = AFFINITY_THRESHOLDS_M,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy score-ordered matching.
+    """Nearest-GT assignment with per-GT dedupe (official devkit rule).
+
+    ``dt_xyz`` MUST already be sorted by descending score.
 
     Returns:
-        tp: (N_dt,) bool in score order given.
-        gt_idx: (N_dt,) matched gt index or -1.
+        tp: (N_dt, len(thresholds)) bool.
+        gt_idx: (N_dt,) nearest gt index (or -1 when there are no GTs).
     """
     n_dt, n_gt = len(dt_xyz), len(gt_xyz)
-    tp = np.zeros(n_dt, bool)
-    gt_idx = np.full(n_dt, -1, np.int64)
+    tp = np.zeros((n_dt, len(thresholds)), bool)
     if n_gt == 0 or n_dt == 0:
-        return tp, gt_idx
+        return tp, np.full(n_dt, -1, np.int64)
     dist = np.linalg.norm(dt_xyz[:, None] - gt_xyz[None], axis=-1)
-    taken = np.zeros(n_gt, bool)
-    order = np.argsort(-dt_scores, kind="stable")
-    for i in order:
-        d = np.where(taken, np.inf, dist[i])
-        j = int(np.argmin(d))
-        if d[j] <= threshold:
-            tp[i] = True
-            gt_idx[i] = j
-            taken[j] = True
+    gt_idx = dist.argmin(axis=1)
+    near_d = dist[np.arange(n_dt), gt_idx]
+    for ti, t in enumerate(thresholds):
+        cand = near_d < t
+        # First (= highest score) detection per GT among candidates wins.
+        _, first = np.unique(gt_idx[cand], return_index=True)
+        winners = np.flatnonzero(cand)[first]
+        tp[winners, ti] = True
     return tp, gt_idx
 
 
 def _interp_ap(tp_sorted: np.ndarray, num_gts: int) -> float:
-    """Interpolated AP over a uniform recall grid."""
+    """Interpolated AP over a uniform recall grid (100 samples over [0,1])."""
     if num_gts == 0 or len(tp_sorted) == 0:
         return 0.0
     cum_tp = np.cumsum(tp_sorted)
@@ -92,9 +114,16 @@ def _interp_ap(tp_sorted: np.ndarray, num_gts: int) -> float:
     recall = cum_tp / num_gts
     # Monotone non-increasing interpolated precision.
     precision = np.maximum.accumulate(precision[::-1])[::-1]
-    grid = np.linspace(0, 1, N_RECALL_SAMPLES + 1)[1:]
+    grid = np.linspace(0, 1, N_RECALL_SAMPLES)
     interp = np.interp(grid, recall, precision, right=0.0)
     return float(interp.mean())
+
+
+def _roi_mask(frame: Dict[str, np.ndarray], n: int) -> np.ndarray:
+    roi = frame.get("is_within_roi")
+    if roi is None:
+        return np.ones(n, bool)
+    return np.asarray(roi).astype(bool)
 
 
 def evaluate(
@@ -103,12 +132,13 @@ def evaluate(
     categories: Sequence[str],
     *,
     max_range_m: float = MAX_RANGE_M,
+    eval_only_roi_instances: bool = True,
 ) -> Dict[str, Dict[str, float]]:
     """Evaluate flat prediction columns against flat GT columns.
 
     Both dicts carry columns: tx_m ty_m tz_m length_m width_m height_m
     qw qx qy qz category log_id timestamp_ns (+ dts: score,
-    gts: num_interior_pts).
+    gts: num_interior_pts; optionally is_within_roi on either).
 
     Returns per-category metrics + ``AVERAGE_METRICS``.
     """
@@ -118,14 +148,18 @@ def evaluate(
     gt_keep = gt_rng <= max_range_m
     if "num_interior_pts" in gts:
         gt_keep &= gts["num_interior_pts"] > 0
-    gts = {k: v[gt_keep] for k, v in gts.items()}
+    if eval_only_roi_instances:
+        gt_keep &= _roi_mask(gts, len(gt_keep))
+    gts = {k: np.asarray(v)[gt_keep] for k, v in gts.items()}
 
     if len(dts.get("tx_m", [])) > 0:
         dt_rng = np.linalg.norm(
             np.stack([dts["tx_m"], dts["ty_m"], dts["tz_m"]], -1), axis=-1
         )
         dt_keep = dt_rng <= max_range_m
-        dts = {k: v[dt_keep] for k, v in dts.items()}
+        if eval_only_roi_instances:
+            dt_keep &= _roi_mask(dts, len(dt_keep))
+        dts = {k: np.asarray(v)[dt_keep] for k, v in dts.items()}
 
     dt_uuid = _uuid_codes(dts)
     gt_uuid = _uuid_codes(gts)
@@ -137,72 +171,78 @@ def evaluate(
         num_gts = int(gm.sum())
 
         cat_scores: List[np.ndarray] = []
-        cat_tp: Dict[float, List[np.ndarray]] = {
-            t: [] for t in AFFINITY_THRESHOLDS_M
-        }
+        cat_tp: List[np.ndarray] = []  # (n, n_thresholds) per sweep
         ate_l, ase_l, aoe_l = [], [], []
+        tp_col = AFFINITY_THRESHOLDS_M.index(TP_THRESHOLD_M)
 
         sweep_ids = np.unique(np.concatenate([dt_uuid[dm], gt_uuid[gm]])) if (
             dm.any() or gm.any()
         ) else []
         for sid in sweep_ids:
-            dsel = dm & (dt_uuid == sid)
-            gsel = gm & (gt_uuid == sid)
+            dsel = np.flatnonzero(dm & (dt_uuid == sid))
+            gsel = np.flatnonzero(gm & (gt_uuid == sid))
+            scores = dts["score"][dsel]
+            # Official rule requires score-descending order within a sweep.
+            order = np.argsort(-scores, kind="stable")
+            dsel = dsel[order]
+            scores = scores[order]
             d_xyz = np.stack(
                 [dts["tx_m"][dsel], dts["ty_m"][dsel], dts["tz_m"][dsel]], -1
             )
             g_xyz = np.stack(
                 [gts["tx_m"][gsel], gts["ty_m"][gsel], gts["tz_m"][gsel]], -1
             )
-            scores = dts["score"][dsel]
             cat_scores.append(scores)
-            for t in AFFINITY_THRESHOLDS_M:
-                tp, gi = match_sweep(d_xyz, scores, g_xyz, t)
-                cat_tp[t].append(tp)
-                if t == TP_THRESHOLD_M and tp.any():
-                    mi = tp
-                    gi_m = gi[mi]
-                    ate_l.append(
-                        np.linalg.norm(d_xyz[mi] - g_xyz[gi_m], axis=-1)
-                    )
-                    d_dims = np.stack(
-                        [
-                            dts["length_m"][dsel][mi],
-                            dts["width_m"][dsel][mi],
-                            dts["height_m"][dsel][mi],
-                        ],
-                        -1,
-                    )
-                    g_dims = np.stack(
-                        [
-                            gts["length_m"][gsel][gi_m],
-                            gts["width_m"][gsel][gi_m],
-                            gts["height_m"][gsel][gi_m],
-                        ],
-                        -1,
-                    )
-                    ase_l.append(1.0 - _aligned_scale_iou(d_dims, g_dims))
-                    d_yaw = _quat_to_yaw(
-                        dts["qw"][dsel][mi],
-                        dts["qx"][dsel][mi],
-                        dts["qy"][dsel][mi],
-                        dts["qz"][dsel][mi],
-                    )
-                    g_yaw = _quat_to_yaw(
-                        gts["qw"][gsel][gi_m],
-                        gts["qx"][gsel][gi_m],
-                        gts["qy"][gsel][gi_m],
-                        gts["qz"][gsel][gi_m],
-                    )
-                    aoe_l.append(_wrap_pi(d_yaw - g_yaw))
+            tp, gi = assign_sweep(d_xyz, g_xyz)
+            cat_tp.append(tp)
+            mi = tp[:, tp_col]
+            if mi.any():
+                gi_m = gi[mi]
+                gsel_m = gsel[gi_m]
+                ate_l.append(
+                    np.linalg.norm(d_xyz[mi] - g_xyz[gi_m], axis=-1)
+                )
+                d_dims = np.stack(
+                    [
+                        dts["length_m"][dsel][mi],
+                        dts["width_m"][dsel][mi],
+                        dts["height_m"][dsel][mi],
+                    ],
+                    -1,
+                )
+                g_dims = np.stack(
+                    [
+                        gts["length_m"][gsel_m],
+                        gts["width_m"][gsel_m],
+                        gts["height_m"][gsel_m],
+                    ],
+                    -1,
+                )
+                ase_l.append(1.0 - _aligned_scale_iou(d_dims, g_dims))
+                d_yaw = _quat_to_yaw(
+                    dts["qw"][dsel][mi],
+                    dts["qx"][dsel][mi],
+                    dts["qy"][dsel][mi],
+                    dts["qz"][dsel][mi],
+                )
+                g_yaw = _quat_to_yaw(
+                    gts["qw"][gsel_m],
+                    gts["qx"][gsel_m],
+                    gts["qy"][gsel_m],
+                    gts["qz"][gsel_m],
+                )
+                aoe_l.append(_wrap_pi(d_yaw - g_yaw))
 
         if cat_scores:
             all_scores = np.concatenate(cat_scores)
+            all_tp = np.concatenate(cat_tp, axis=0) if cat_tp else np.zeros(
+                (0, len(AFFINITY_THRESHOLDS_M)), bool
+            )
             order = np.argsort(-all_scores, kind="stable")
-            aps = []
-            for t in AFFINITY_THRESHOLDS_M:
-                tp_all = np.concatenate(cat_tp[t])[order]
-                aps.append(_interp_ap(tp_all, num_gts))
+            aps = [
+                _interp_ap(all_tp[order, ti], num_gts)
+                for ti in range(len(AFFINITY_THRESHOLDS_M))
+            ]
             ap = float(np.mean(aps))
         else:
             ap = 0.0
@@ -247,6 +287,45 @@ def _uuid_codes(frame: Dict[str, np.ndarray]) -> np.ndarray:
     )
 
 
+def dedupe_predictions(dts: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Sort by descending score and drop exact duplicate rows.
+
+    Mirrors the reference's ``.sort('score', descending).unique()``
+    (``nn/arch/detector.py:576-581``) guarding against shard re-writes
+    (e.g. a preempted+resumed validation writing a sweep twice).
+    """
+    n = len(dts.get("score", []))
+    if n == 0:
+        return dts
+    order = np.argsort(-dts["score"], kind="stable")
+    dts = {k: np.asarray(v)[order] for k, v in dts.items()}
+    keys = np.stack(
+        [np.asarray(dts[k], str) for k in sorted(dts)], axis=-1
+    )
+    row_keys = np.array(["\x1f".join(r) for r in keys])
+    _, first = np.unique(row_keys, return_index=True)
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    return {k: v[keep] for k, v in dts.items()}
+
+
+def _join_valid_uuids(
+    dts: Dict[str, np.ndarray], gts: Dict[str, np.ndarray]
+) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Keep only rows whose (log_id, timestamp_ns) appear in the GT set.
+
+    Reference: ``valid_uuids = gts.select(UUID_COLUMNS).unique()`` then
+    inner-join on both frames (``nn/arch/detector.py:607-614``).
+    """
+    valid = np.unique(_uuid_codes(gts))
+    dt_keep = np.isin(_uuid_codes(dts), valid)
+    gt_keep = np.isin(_uuid_codes(gts), valid)
+    return (
+        {k: np.asarray(v)[dt_keep] for k, v in dts.items()},
+        {k: np.asarray(v)[gt_keep] for k, v in gts.items()},
+    )
+
+
 def load_ground_truth(split_dir: Path) -> Dict[str, np.ndarray]:
     """Load and concatenate all logs' annotations with log_id columns."""
     cols: Dict[str, List[np.ndarray]] = {}
@@ -274,10 +353,16 @@ def load_predictions(pred_dir: Path) -> Dict[str, np.ndarray]:
 
 
 def evaluate_predictions(
-    pred_dir: Path, gt_split_dir: Path, categories: Sequence[str]
+    pred_dir: Path,
+    gt_split_dir: Path,
+    categories: Sequence[str],
+    *,
+    max_range_m: float = MAX_RANGE_M,
+    eval_only_roi_instances: bool = True,
 ) -> Dict[str, Dict[str, float]]:
     """Shard-file evaluation entry (``on_validation_end`` flow,
-    detector.py:407-535)."""
+    detector.py:407-535): dedupe predictions, restrict both sides to the
+    valid-uuid set, then run the protocol."""
     dts = load_predictions(pred_dir)
     gts = load_ground_truth(gt_split_dir)
     if not dts:
@@ -300,4 +385,12 @@ def evaluate_predictions(
         dts["category"] = np.zeros(0, dtype=str)
         dts["log_id"] = np.zeros(0, dtype=str)
         dts["timestamp_ns"] = np.zeros(0, np.int64)
-    return evaluate(dts, gts, categories)
+    dts = dedupe_predictions(dts)
+    dts, gts = _join_valid_uuids(dts, gts)
+    return evaluate(
+        dts,
+        gts,
+        categories,
+        max_range_m=max_range_m,
+        eval_only_roi_instances=eval_only_roi_instances,
+    )

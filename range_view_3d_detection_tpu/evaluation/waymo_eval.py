@@ -3,18 +3,37 @@
 The reference wraps the official TF ``WODDetectionEvaluator``
 (``src/torchbox3d/evaluation/evaluate.py``: GPU-disabled TF 9-17, config
 289-319, difficulty derivation 322-348, breakdowns 425-466). That stack
-(TensorFlow + waymo_open_dataset C++ ops) is not in this image; this module
-reimplements the protocol:
+(TensorFlow custom C++ ops + waymo_open_dataset) is not in this image;
+this module reimplements the protocol:
 
-- Hungarian assignment on IoU (scipy ``linear_sum_assignment``), per
-  (sweep, category), BEV or 3D IoU, thresholds 0.7 (VEHICLE) / 0.5
-  (PEDESTRIAN / CYCLIST / SIGN).
+- 101 score cutoffs (``evaluate.py:289-319``). Crucially, matching is
+  **recomputed at every cutoff**: at cutoff ``c`` only detections with
+  score >= c participate in the Hungarian assignment (scipy
+  ``linear_sum_assignment`` maximizing total IoU), exactly as the
+  official evaluator re-matches per operating point. Detections within a
+  sweep are score-sorted so the cutoff subset is always a prefix; the
+  match result is cached per prefix length, bounding the work to one
+  assignment per distinct prefix per sweep.
+- Per (sweep, category) matching on BEV or 3D IoU, thresholds 0.7
+  (VEHICLE) / 0.5 (PEDESTRIAN / CYCLIST / SIGN). A matched pair is valid
+  iff IoU >= threshold.
 - LEVEL_2 difficulty for GTs with ``num_interior_pts <= 5`` or labeled
-  difficulty 2 (``evaluate.py:322-348``); LEVEL_1 metrics exclude LEVEL_2
-  GTs from the denominator, LEVEL_2 includes all.
-- AP over 101 score cutoffs (``evaluate.py:289-319``), range breakdowns
-  0-30 / 30-50 / 50-inf m; SIGN excluded from the mean AP
-  (``tools/benchmark.py:188-204`` semantics).
+  difficulty 2 (``evaluate.py:322-348``). LEVEL_1 metrics count only
+  LEVEL_1 GTs; detections matched to harder GTs are ignored (neither TP
+  nor FP); LEVEL_2 counts all GTs.
+- Range breakdowns 0-30 / 30-50 / 50-inf m. Matching runs globally per
+  sweep; each matched pair is bucketed by the *ground truth's* range,
+  each unmatched detection by its own range (so a detection matched to a
+  GT across a band boundary is not spuriously an FP in its own band).
+- AP integrates the 101-point P/R curve on the monotone precision
+  envelope (trapezoid). The official evaluator additionally penalizes
+  recall gaps larger than 0.05; with 101 cutoffs the gaps are small and
+  the envelope integral is the standard approximation — exact parity
+  with the TF op cannot be recorded in this image (no WOD package), so
+  ``tests/test_eval_parity.py`` cross-checks against an independent
+  brute-force oracle of this protocol instead.
+- SIGN excluded from the mean AP (``tools/benchmark.py:188-204``
+  semantics).
 """
 
 from __future__ import annotations
@@ -85,15 +104,42 @@ def _boxes(frame: Dict[str, np.ndarray], sel) -> np.ndarray:
     ).astype(np.float32)
 
 
-def _match_hungarian(
-    iou: np.ndarray, threshold: float
+def match_prefix(
+    iou: np.ndarray, k: int, threshold: float
 ) -> List[Tuple[int, int]]:
+    """Hungarian-match the first ``k`` (score-sorted) detections to GTs."""
     from scipy.optimize import linear_sum_assignment
 
-    if iou.size == 0:
+    if k == 0 or iou.shape[1] == 0:
         return []
-    r, c = linear_sum_assignment(-iou)
-    return [(i, j) for i, j in zip(r, c) if iou[i, j] >= threshold]
+    sub = iou[:k]
+    r, c = linear_sum_assignment(-sub)
+    return [(i, j) for i, j in zip(r, c) if sub[i, j] >= threshold]
+
+
+class _SweepCase:
+    """Per-(sweep, category) matching state with prefix-match caching."""
+
+    __slots__ = ("scores", "iou", "g_range", "d_range", "g_l2", "thr", "_cache")
+
+    def __init__(self, scores, iou, g_range, d_range, g_l2, thr):
+        self.scores = scores  # descending
+        self.iou = iou  # (n_dt, n_gt)
+        self.g_range = g_range
+        self.d_range = d_range
+        self.g_l2 = g_l2
+        self.thr = thr
+        self._cache: Dict[int, List[Tuple[int, int]]] = {}
+
+    def matches_at(self, cutoff: float) -> Tuple[int, List[Tuple[int, int]]]:
+        k = int(np.searchsorted(-self.scores, -cutoff, side="right"))
+        if k not in self._cache:
+            self._cache[k] = match_prefix(self.iou, k, self.thr)
+        return k, self._cache[k]
+
+
+def _in_band(rng: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    return (rng > lo) & (rng <= hi) if lo else rng <= hi
 
 
 def evaluate_waymo(
@@ -124,65 +170,79 @@ def evaluate_waymo(
         )
 
     dt_uuid, gt_uuid = uuid(dts), uuid(gts)
+    cutoffs = np.linspace(0.0, 1.0, NUM_SCORE_CUTOFFS)
     out: Dict[str, float] = {}
 
     for cat in categories:
         thr = IOU_THRESHOLDS.get(cat, 0.5)
+        # Build per-sweep cases once per category; matching is global per
+        # sweep, bucketing into range bands happens per matched pair.
+        cases: List[_SweepCase] = []
+        sweep_ids = np.unique(np.concatenate([dt_uuid, gt_uuid]))
+        for sid in sweep_ids:
+            dsel = np.flatnonzero((dts["category"] == cat) & (dt_uuid == sid))
+            gsel = np.flatnonzero((gts["category"] == cat) & (gt_uuid == sid))
+            if len(dsel) == 0 and len(gsel) == 0:
+                continue
+            scores = dts["score"][dsel]
+            order = np.argsort(-scores, kind="stable")
+            dsel = dsel[order]
+            scores = scores[order]
+            dbox = _boxes(dts, dsel)
+            gbox = _boxes(gts, gsel)
+            iou = (
+                iou_fn(dbox, gbox)
+                if len(dbox) and len(gbox)
+                else np.zeros((len(dbox), len(gbox)))
+            )
+            cases.append(
+                _SweepCase(
+                    scores,
+                    iou,
+                    np.linalg.norm(gbox[:, :2], axis=-1),
+                    np.linalg.norm(dbox[:, :2], axis=-1),
+                    gt_level2[gsel],
+                    thr,
+                )
+            )
+
         for lo, hi in RANGE_BREAKDOWNS:
+            # num_gt per level is cutoff-independent.
+            num_gt = {1: 0, 2: 0}
+            for case in cases:
+                gin = _in_band(case.g_range, lo, hi)
+                num_gt[2] += int(gin.sum())
+                num_gt[1] += int((gin & ~case.g_l2).sum())
+
             for level in (1, 2):
-                scores_all: List[np.ndarray] = []
-                tp_all: List[np.ndarray] = []
-                ignore_all: List[np.ndarray] = []
-                num_gt = 0
-                sweep_ids = np.unique(np.concatenate([dt_uuid, gt_uuid]))
-                for sid in sweep_ids:
-                    dsel = (dts["category"] == cat) & (dt_uuid == sid)
-                    gsel = (gts["category"] == cat) & (gt_uuid == sid)
-                    dbox = _boxes(dts, dsel)
-                    gbox = _boxes(gts, gsel)
-                    drange = np.linalg.norm(dbox[:, :2], axis=-1)
-                    grange = np.linalg.norm(gbox[:, :2], axis=-1)
-                    din = (drange > lo) & (drange <= hi) if lo else (
-                        drange <= hi
+                precisions, recalls = [], []
+                for c in cutoffs:
+                    n_tp = 0
+                    n_fp = 0
+                    for case in cases:
+                        k, matches = case.matches_at(c)
+                        matched_d = np.zeros(k, bool)
+                        for i, j in matches:
+                            matched_d[i] = True
+                            if not _in_band(
+                                np.asarray([case.g_range[j]]), lo, hi
+                            )[0]:
+                                continue  # pair belongs to another band
+                            if level == 1 and case.g_l2[j]:
+                                continue  # ignored: matched a harder GT
+                            n_tp += 1
+                        # Unmatched detections bucket by their own range.
+                        din = _in_band(case.d_range[:k], lo, hi)
+                        n_fp += int((~matched_d & din).sum())
+                    n_det = n_tp + n_fp
+                    precisions.append(n_tp / n_det if n_det else 1.0)
+                    recalls.append(
+                        n_tp / num_gt[level] if num_gt[level] else 0.0
                     )
-                    gin = (grange > lo) & (grange <= hi) if lo else (
-                        grange <= hi
-                    )
-                    g_l2 = gt_level2[gsel]
-                    # LEVEL_1 counts only easy GTs; LEVEL_2 counts all.
-                    g_counted = gin & (~g_l2 if level == 1 else np.ones_like(g_l2))
-                    num_gt += int(g_counted.sum())
-
-                    if not din.any():
-                        continue
-                    dbox_i = dbox[din]
-                    scores = dts["score"][dsel][din]
-                    iou = iou_fn(dbox_i, gbox) if len(gbox) else np.zeros(
-                        (len(dbox_i), 0)
-                    )
-                    matches = _match_hungarian(iou, thr)
-                    tp = np.zeros(len(dbox_i), bool)
-                    ignore = np.zeros(len(dbox_i), bool)
-                    for i, j in matches:
-                        if g_counted[j]:
-                            tp[i] = True
-                        elif gin[j]:
-                            # matched to an uncounted (harder-level) GT:
-                            # neither TP nor FP at this level.
-                            ignore[i] = True
-                        else:
-                            ignore[i] = True  # matched out-of-range GT
-                    scores_all.append(scores)
-                    tp_all.append(tp)
-                    ignore_all.append(ignore)
-
-                ap = _ap_from_cutoffs(
-                    np.concatenate(scores_all) if scores_all else np.zeros(0),
-                    np.concatenate(tp_all) if tp_all else np.zeros(0, bool),
-                    np.concatenate(ignore_all)
-                    if ignore_all
-                    else np.zeros(0, bool),
-                    num_gt,
+                ap = (
+                    _ap_from_pr(np.asarray(precisions), np.asarray(recalls))
+                    if num_gt[level]
+                    else 0.0
                 )
                 hi_s = "inf" if np.isinf(hi) else f"{hi:g}"
                 out[f"{cat}/L{level}/{lo:g}-{hi_s}/AP_{mode}"] = ap
@@ -190,30 +250,13 @@ def evaluate_waymo(
     return out
 
 
-def _ap_from_cutoffs(
-    scores: np.ndarray, tp: np.ndarray, ignore: np.ndarray, num_gt: int
-) -> float:
-    """AP via precision/recall at 101 score cutoffs (evaluate.py:289-319)."""
-    if num_gt == 0:
-        return 0.0
-    cutoffs = np.linspace(0.0, 1.0, NUM_SCORE_CUTOFFS)
-    precisions, recalls = [], []
-    counted = ~ignore
-    for c in cutoffs:
-        sel = (scores >= c) & counted
-        n_tp = int((tp & sel).sum())
-        n = int(sel.sum())
-        precisions.append(n_tp / n if n else 1.0)
-        recalls.append(n_tp / num_gt)
-    precisions = np.asarray(precisions)
-    recalls = np.asarray(recalls)
-    # Integrate precision over recall (trapezoid on the monotone envelope).
+def _ap_from_pr(precisions: np.ndarray, recalls: np.ndarray) -> float:
+    """Integrate precision over recall on the monotone envelope."""
     order = np.argsort(recalls)
     r, p = recalls[order], precisions[order]
     p = np.maximum.accumulate(p[::-1])[::-1]
-    return float(np.trapezoid(p, r)) if hasattr(np, "trapezoid") else float(
-        np.trapz(p, r)
-    )
+    trapz = getattr(np, "trapezoid", None) or np.trapz
+    return float(trapz(p, r))
 
 
 def mean_ap(results: Dict[str, float], *, level: int = 2, mode: str = "3d") -> float:

@@ -22,7 +22,9 @@ from range_view_3d_detection_tpu.parallel.mesh import initialize_distributed
 from range_view_3d_detection_tpu.training.loop import Trainer
 from range_view_3d_detection_tpu.utils.config import compose
 
-logging.basicConfig(level=logging.INFO)
+# force=True: jax/absl may already have configured the root logger at
+# WARNING, which would silently swallow every INFO line below.
+logging.basicConfig(level=logging.INFO, force=True)
 logger = logging.getLogger("train")
 
 
@@ -52,15 +54,23 @@ def main(argv: list[str]) -> None:
     logger.info("predictions written to %s", pred_dir)
 
     try:
+        from range_view_3d_detection_tpu.evaluation import (
+            detection_cfg_factory,
+        )
         from range_view_3d_detection_tpu.evaluation.av2_eval import (
             evaluate_predictions,
         )
 
+        eval_cfg = detection_cfg_factory(
+            cfg["dataset"].get("dataset_name", "av2")
+        )
         eval_split = cfg["dataset"]["_val_dataset"].get("split_name", "val")
         metrics = evaluate_predictions(
             pred_dir,
             Path(cfg["dataset"]["root_dir"]) / eval_split,
             categories=trainer.categories,
+            max_range_m=eval_cfg.max_range_m,
+            eval_only_roi_instances=eval_cfg.eval_only_roi_instances,
         )
         for k, v in metrics.items():
             logger.info("metric %s = %s", k, v)

@@ -26,7 +26,7 @@ sys.path.insert(0, str(REPO))
 import jax
 import numpy as np
 
-logging.basicConfig(level=logging.INFO)
+logging.basicConfig(level=logging.INFO, force=True)
 logger = logging.getLogger("benchmark")
 
 

@@ -26,12 +26,16 @@ def main():
     args = ap.parse_args()
 
     from range_view_3d_detection_tpu.evaluation.av2_eval import (
+        _join_valid_uuids,
+        dedupe_predictions,
         load_ground_truth,
         load_predictions,
     )
 
     dts = load_predictions(Path(args.pred_dir))
     gts = load_ground_truth(Path(args.gt_dir))
+    dts = dedupe_predictions(dts)
+    dts, gts = _join_valid_uuids(dts, gts)
     if args.categories:
         categories = args.categories.split(",")
     else:
