@@ -176,6 +176,115 @@ def build_range_view(
     return {name: flat[:, i] for i, name in enumerate(OUTPUT_COLUMNS)}
 
 
+def _quat_to_mat(qw, qx, qy, qz) -> np.ndarray:
+    """Unit quaternion (scalar-first) -> (N, 3, 3) rotation matrices."""
+    qw, qx, qy, qz = (np.asarray(q, np.float64) for q in (qw, qx, qy, qz))
+    return np.stack(
+        [
+            np.stack(
+                [
+                    1 - 2 * (qy**2 + qz**2),
+                    2 * (qx * qy - qw * qz),
+                    2 * (qx * qz + qw * qy),
+                ],
+                -1,
+            ),
+            np.stack(
+                [
+                    2 * (qx * qy + qw * qz),
+                    1 - 2 * (qx**2 + qz**2),
+                    2 * (qy * qz - qw * qx),
+                ],
+                -1,
+            ),
+            np.stack(
+                [
+                    2 * (qx * qz - qw * qy),
+                    2 * (qy * qz + qw * qx),
+                    1 - 2 * (qx**2 + qy**2),
+                ],
+                -1,
+            ),
+        ],
+        -2,
+    )
+
+
+def count_interior_points(
+    ann: Dict[str, np.ndarray], sel: np.ndarray, xyz: np.ndarray
+) -> np.ndarray:
+    """Count lidar points inside each selected cuboid.
+
+    The reference dataset ships ``num_interior_pts`` per annotation and the
+    loader's train filter depends on it (``prototype/loader.py:331-344``);
+    when a source lacks the column we compute it here from the sweep's
+    (ego-frame, motion-compensated) points — the frame annotations live in.
+    """
+    idx = np.flatnonzero(sel)
+    counts = np.zeros(len(idx), np.int64)
+    if len(xyz) == 0:
+        return counts
+    rots = _quat_to_mat(
+        ann["qw"][idx], ann["qx"][idx], ann["qy"][idx], ann["qz"][idx]
+    )
+    centers = np.stack(
+        [ann["tx_m"][idx], ann["ty_m"][idx], ann["tz_m"][idx]], -1
+    )
+    half_dims = (
+        np.stack(
+            [ann["length_m"][idx], ann["width_m"][idx], ann["height_m"][idx]],
+            -1,
+        )
+        / 2.0
+    )
+    for i in range(len(idx)):
+        local = (xyz - centers[i]) @ rots[i]  # world->box frame
+        inside = np.all(np.abs(local) <= half_dims[i] + 1e-9, axis=-1)
+        counts[i] = int(inside.sum())
+    return counts
+
+
+def annotation_roi_flags(
+    ann: Dict[str, np.ndarray], roi_map, poses: Optional[Dict[str, np.ndarray]]
+) -> np.ndarray:
+    """Per-cuboid ROI membership: any BEV footprint corner (or the center)
+    inside the rasterized ROI — the SDK's ``compute_objects_in_roi_mask``
+    vertex rule. Annotations are ego-frame at their timestamp; the ROI
+    raster is city-frame, so each cuboid footprint is transformed by its
+    sweep's city pose first."""
+    n = len(ann["tx_m"])
+    yaw = np.arctan2(
+        2 * (ann["qw"] * ann["qz"] + ann["qx"] * ann["qy"]),
+        1 - 2 * (ann["qy"] ** 2 + ann["qz"] ** 2),
+    )
+    c, s = np.cos(yaw), np.sin(yaw)
+    half_l, half_w = ann["length_m"] / 2, ann["width_m"] / 2
+    corners_local = np.stack(
+        [
+            np.stack([half_l, half_w], -1),
+            np.stack([half_l, -half_w], -1),
+            np.stack([-half_l, half_w], -1),
+            np.stack([-half_l, -half_w], -1),
+            np.zeros((n, 2)),
+        ],
+        1,
+    )  # (N, 5, 2)
+    rot = np.stack(
+        [np.stack([c, -s], -1), np.stack([s, c], -1)], -2
+    )  # (N, 2, 2)
+    corners = np.einsum("nij,nkj->nki", rot, corners_local) + np.stack(
+        [ann["tx_m"], ann["ty_m"]], -1
+    )[:, None]
+    if poses is not None:
+        city_from_ego = _slerp_poses(poses, np.asarray(ann["timestamp_ns"]))
+        corners = (
+            np.einsum("nij,nkj->nki", city_from_ego[:, :2, :2], corners)
+            + city_from_ego[:, None, :2, 3]
+        )
+    flags = roi_map.contains(corners.reshape(-1, 2)).reshape(n, 5)
+    return flags.any(axis=1)
+
+
 def export_log(
     log_dir: Path, dst_log_dir: Path, *, height: int, width: int
 ) -> None:
@@ -183,6 +292,31 @@ def export_log(
     pose_path = log_dir / "city_SE3_egovehicle.feather"
     if pose_path.is_file():
         poses = read_feather(pose_path)
+
+    from converters.av2.roi import load_roi_map
+
+    roi_map = load_roi_map(log_dir)
+
+    def make_roi_fn(sweep_ts: int):
+        """Per-point ROI lookup: ego->city at the sweep pose, then raster
+        query (``converters/av2/utils.py:97-99`` capability)."""
+        if roi_map is None or poses is None:
+            return None
+        city_from_ego = _slerp_poses(poses, np.asarray([sweep_ts]))[0]
+
+        def roi_fn(xy_ego: np.ndarray) -> np.ndarray:
+            xy_city = xy_ego @ city_from_ego[:2, :2].T + city_from_ego[:2, 3]
+            return roi_map.contains(xy_city)
+
+        return roi_fn
+
+    ann = None
+    ann_path = log_dir / "annotations.feather"
+    if ann_path.is_file():
+        ann = read_feather(ann_path)
+        needs_pts = "num_interior_pts" not in ann
+        if needs_pts:
+            ann["num_interior_pts"] = np.zeros(len(ann["tx_m"]), np.int64)
 
     lidar_dir = log_dir / "sensors" / "lidar"
     for sweep_path in sorted(lidar_dir.glob("*.feather")):
@@ -194,15 +328,25 @@ def export_log(
             width=width,
             sweep_ts=ts,
             poses=poses,
+            roi_fn=make_roi_fn(ts),
             log_id=log_dir.stem,
         )
         write_feather(
             dst_log_dir / "sensors" / "range_view" / f"{ts}.feather", cols
         )
+        if ann is not None and needs_pts:
+            sel = ann["timestamp_ns"] == ts
+            if sel.any():
+                xyz = np.stack(
+                    [sweep["x"], sweep["y"], sweep["z"]], axis=-1
+                ).astype(np.float64)
+                ann["num_interior_pts"][sel] = count_interior_points(
+                    ann, sel, xyz
+                )
 
-    ann_path = log_dir / "annotations.feather"
-    if ann_path.is_file():
-        ann = read_feather(ann_path)
+    if ann is not None:
+        if roi_map is not None:
+            ann["is_within_roi"] = annotation_roi_flags(ann, roi_map, poses)
         write_feather(dst_log_dir / "annotations.feather", ann)
 
 
