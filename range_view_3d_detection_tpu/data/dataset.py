@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -78,12 +79,25 @@ class DatasetConfig:
     seed: int = 0
 
 
-def width_padding(dataset_name: str, x_stride: int) -> int:
+def width_padding(width: int, x_stride: int) -> int:
     """Per-side column padding so padded W / x_stride is divisible by 16
-    (``subsample_range_view``, loader.py:792-815)."""
-    if dataset_name == "waymo":
-        return 19 if x_stride == 4 else 3
-    return 28 if x_stride == 4 else 4
+    (``subsample_range_view``, loader.py:792-815).
+
+    Computed, not table-driven: the smallest symmetric pad with
+    ``(W + 2*pad) % (16 * x_stride) == 0`` (av2 1800 -> 4 / 28,
+    waymo 2650 -> 3 / 19 for x_stride 1 / 4, matching the reference's
+    constants).
+    """
+    unit = 16 * x_stride
+    deficit = (-width) % unit
+    if deficit % 2:
+        # No symmetric integer pad exists; round up one more unit.
+        deficit += unit
+    if deficit % 2:
+        raise ValueError(
+            f"width={width} x_stride={x_stride}: no symmetric pad exists"
+        )
+    return deficit // 2
 
 
 class RangeViewDataset:
@@ -93,6 +107,8 @@ class RangeViewDataset:
         self.cfg = cfg
         self.split_dir = Path(cfg.root_dir) / cfg.split_name
         self._category_map = self._build_category_map()
+        self._ann_cache: "OrderedDict[str, dict]" = OrderedDict()
+        self._ann_cache_size = 64
         self.index = self._build_index()
         self._filter_train_index()
         self.epoch = 0  # set by the loader; varies augmentation draws
@@ -206,14 +222,34 @@ class RangeViewDataset:
             / f"{timestamp_ns}.feather"
         )
 
+    def _log_annotations(self, log_id: str):
+        """Per-log annotation table, LRU-cached.
+
+        Index build (`_filter_train_index` / `_repeat_factor_sample`)
+        visits every sweep of a log consecutively; without the cache each
+        visit re-read the log's whole annotations.feather — O(sweeps)
+        full-file reads, minutes-to-hours at AV2 scale (~150k sweeps).
+        With it, index build is one read per log and the train-time
+        random access pattern stays bounded by the cache size.
+        """
+        cached = self._ann_cache.get(log_id)
+        if cached is None:
+            ann = read_feather(self.annotations_path(log_id))
+            ann["timestamp_ns"] = ann["timestamp_ns"].astype(np.int64)
+            ann["_keep"] = (ann["num_interior_pts"] > 0) & np.isin(
+                ann["category"], list(self._category_map)
+            )
+            self._ann_cache[log_id] = ann
+            if len(self._ann_cache) > self._ann_cache_size:
+                self._ann_cache.pop(next(iter(self._ann_cache)))
+            return ann
+        self._ann_cache.move_to_end(log_id)
+        return cached
+
     def _load_annotations(self, log_id: str, timestamp_ns: int):
-        ann = read_feather(self.annotations_path(log_id))
-        m = (
-            (ann["timestamp_ns"].astype(np.int64) == timestamp_ns)
-            & (ann["num_interior_pts"] > 0)
-            & np.isin(ann["category"], list(self._category_map))
-        )
-        return {k: v[m] for k, v in ann.items()}
+        ann = self._log_annotations(log_id)
+        m = ann["_keep"] & (ann["timestamp_ns"] == timestamp_ns)
+        return {k: v[m] for k, v in ann.items() if k != "_keep"}
 
     def load_sweep(self, log_id: str, timestamp_ns: int) -> augs.Sweep:
         cols = read_feather(self.sweep_path(log_id, timestamp_ns))
@@ -380,7 +416,7 @@ class RangeViewDataset:
 
     def _pad_and_stride(self, sweep: augs.Sweep):
         """Width pad + column decimation (``subsample_range_view``)."""
-        pad = width_padding(self.cfg.dataset_name, self.cfg.x_stride)
+        pad = width_padding(self.cfg.range_view.width, self.cfg.x_stride)
         mode = "wrap" if self.cfg.padding_mode == "circular" else "constant"
         feats = sweep["features"] * sweep["mask"][..., None]
         spec = ((0, 0), (pad, pad), (0, 0))

@@ -46,7 +46,77 @@ def bench(fn, *args, iters=20, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_loader(argv):
+    """Loader-only throughput: host pipeline frames/s at flagship shapes.
+
+    The device path targets tens of fps/chip; the host loader must
+    sustain a multiple of that (SURVEY §7.3 item 6). Measures the full
+    ``DataLoader`` iterator (feather decode + augment + pad/stride +
+    collate + prefetch) on synthetic flagship-sized sweeps.
+    """
+    from range_view_3d_detection_tpu.data.dataset import (
+        DataLoader,
+        DatasetConfig,
+        RangeViewConfig,
+        RangeViewDataset,
+    )
+    from range_view_3d_detection_tpu.data.synthetic import generate_dataset
+
+    height = int(next((a.split("=")[1] for a in argv if a.startswith("--height=")), 64))
+    width = int(next((a.split("=")[1] for a in argv if a.startswith("--width=")), 1800))
+    batch = int(next((a.split("=")[1] for a in argv if a.startswith("--batch=")), 2))
+    workers = int(next((a.split("=")[1] for a in argv if a.startswith("--workers=")), 6))
+    root = Path(f"/tmp/rangebox-loaderbench/{height}x{width}/sensor")
+    if not root.exists():
+        generate_dataset(
+            root,
+            splits={"train": 2},
+            sweeps_per_log=16,
+            height=height,
+            width=width,
+            num_bg_points=40000,
+            seed=3,
+        )
+    ds = RangeViewDataset(
+        DatasetConfig(
+            root_dir=str(root),
+            split_name="train",
+            range_view=RangeViewConfig(height=height, width=width),
+            tasks={0: ("REGULAR_VEHICLE", "PEDESTRIAN")},
+            augmentations={
+                "flip_azimuth": {"p": 0.5},
+                "random_rotation": {"low": -0.785, "high": 0.785, "p": 1.0},
+                "random_global_scale": {"low": 0.95, "high": 1.05},
+            },
+        )
+    )
+    loader = DataLoader(ds, batch_size=batch, num_workers=workers, shuffle=True)
+    # Warm epoch, then timed epochs.
+    n_frames = 0
+    for b in loader:
+        n_frames += b["features"].shape[0]
+    t0 = time.perf_counter()
+    timed = 0
+    epochs = 3
+    for _ in range(epochs):
+        for b in loader:
+            timed += b["features"].shape[0]
+    dt = time.perf_counter() - t0
+    report = {
+        "loader_frames_per_sec": round(timed / dt, 2),
+        "shape": [height, width],
+        "batch": batch,
+        "workers": workers,
+        "frames_timed": timed,
+    }
+    print(json.dumps(report, indent=2))
+    return report
+
+
 def main(argv):
+    if "--loader" in argv:
+        bench_loader(argv)
+        return
     from range_view_3d_detection_tpu.data.synthetic import generate_dataset
     from range_view_3d_detection_tpu.evaluation.av2_eval import (
         evaluate_predictions,
