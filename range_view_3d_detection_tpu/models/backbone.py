@@ -101,21 +101,40 @@ class RangeNet(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         features = features.astype(self.dtype)
         stem_type = self.stem_type.upper()
+        # The MetaKernel stem's stacked-neighbor train path holds the
+        # largest activations of the whole net ((B, H, W, 9, C) + fp32 BN
+        # buffers over H x W*9); remat it like the backbone stages so
+        # flagship batch >= 2 fits in HBM.
         if stem_type == "META":
-            stem = MetaKernel(
+            MK = (
+                nn.remat(MetaKernel, static_argnums=(3,), prevent_cse=False)
+                if self.remat
+                else MetaKernel
+            )
+            stem = MK(
                 self.layers[0],
                 num_neighbors=self.num_neighbors,
                 num_layers=self.num_layers,
                 **kw,
-            )(features, cart, train=train)
+            )(features, cart, train)
         elif stem_type == "RANGE_PARTITION":
-            stem = RangePartition(
+            RP = (
+                nn.remat(RangePartition, static_argnums=(4,), prevent_cse=False)
+                if self.remat
+                else RangePartition
+            )
+            stem = RP(
                 self.layers[0],
                 projection_kernel_size=self.projection_kernel_size,
                 **kw,
-            )(features, cart, mask.astype(self.dtype), train=train)
+            )(features, cart, mask.astype(self.dtype), train)
         elif stem_type == "BASIC":
-            stem = BasicBlock(
+            BB = (
+                nn.remat(BasicBlock, static_argnums=(2,), prevent_cse=False)
+                if self.remat
+                else BasicBlock
+            )
+            stem = BB(
                 self.layers[0],
                 kernel_size=(
                     self.projection_kernel_size,
@@ -123,7 +142,7 @@ class RangeNet(nn.Module):
                 ),
                 project=True,
                 **kw,
-            )(features, train=train)
+            )(features, train)
         else:
             raise NotImplementedError(f"stem_type={self.stem_type}")
         return RangeBackbone(self.layers, remat=self.remat, **kw)(

@@ -22,11 +22,13 @@ Dtype = Any
 
 
 def extract_neighbors(x: Array, num_neighbors: int) -> Array:
-    """``(B, H, W, C)`` -> ``(B, H, W, n*n, C)`` zero-padded neighborhoods.
+    """``(B, H, W, C)`` -> ``(B, n*n, H, W, C)`` zero-padded neighborhoods.
 
     Equivalent to ``F.unfold(x, n, padding=n//2)`` in the reference
     (``stems/__init__.py:69-77``) with channel-last layout. Neighbor order
     is row-major over (dy, dx), so the center sits at index ``n*n // 2``.
+    The neighbor axis sits next to batch so downstream 1x1 convs can fold
+    it into the batch dimension without layout copies.
     """
     pad = num_neighbors // 2
     B, H, W, C = x.shape
@@ -35,7 +37,7 @@ def extract_neighbors(x: Array, num_neighbors: int) -> Array:
     for dy in range(num_neighbors):
         for dx in range(num_neighbors):
             views.append(xp[:, dy : dy + H, dx : dx + W, :])
-    return jnp.stack(views, axis=3)
+    return jnp.stack(views, axis=1)
 
 
 def _neighbor_view(x: Array, dy: int, dx: int, pad: int) -> Array:
@@ -70,7 +72,7 @@ class MetaKernel(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, features: Array, cart: Array, *, train: bool) -> Array:
+    def __call__(self, features: Array, cart: Array, train: bool = False) -> Array:
         C = self.out_channels
         n = self.num_neighbors
         nn2 = n * n
@@ -126,17 +128,29 @@ class MetaKernel(nn.Module):
         kernel = fusion1_kernel.astype(self.dtype)
 
         if train or not self.inference_accumulate:
-            neighbors = extract_neighbors(feats, n)  # (B, H, W, 9, C)
-            coords = extract_neighbors(cart, n)  # (B, H, W, 9, 3)
-            center = coords[:, :, :, nn2 // 2 : nn2 // 2 + 1, :]
-            rel = coords - center
+            # Neighbors ride the BATCH axis: the pos MLP then runs at
+            # (B*9, H, W, C) in the native image layout. The earlier
+            # (B, H, W*9, C) folding forced XLA into two ~2 GB fp32 layout
+            # copies around the BatchNorm at flagship shapes — the
+            # difference between batch 1 and batch 2 fitting in HBM.
+            # BatchNorm pools over (batch, H, W), so statistics cover the
+            # same element set either way (parity preserved).
+            neighbors = extract_neighbors(feats, n)  # (B, 9, H, W, C)
+            coords = extract_neighbors(cart, n)  # (B, 9, H, W, 3)
+            rel = coords - cart[:, None]  # center view == cart itself
             B, H, W = feats.shape[:3]
-            pos = rel.reshape(B, H, W * nn2, 3)
+            # Fold neighbors into batch: the pos MLP runs at
+            # (B*9, H, W, C). Folding into W instead forced ~2 GB fp32
+            # layout copies around the BatchNorm (the round-1 OOM at
+            # flagship batch 2); folding into H crashes the TPU compiler
+            # at B=2. The batch fold costs only sublane padding
+            # (2*9=18 -> 24, 1.3x on the largest stem buffer).
+            pos = rel.reshape(B * nn2, H, W, 3)
             for layer in pos_layers:
                 pos = layer(pos, train=train)
-            pos = pos.reshape(B, H, W, nn2, C)
+            pos = pos.reshape(B, nn2, H, W, C)
             geo = jnp.einsum(
-                "bhwnc,nco->bhwo", pos * neighbors, kernel
+                "bnhwc,nco->bhwo", pos * neighbors, kernel
             )
         else:
             geo = None
@@ -177,7 +191,7 @@ class RangePartition(nn.Module):
 
     @nn.compact
     def __call__(
-        self, features: Array, cart: Array, mask: Array, *, train: bool
+        self, features: Array, cart: Array, mask: Array, train: bool = False
     ) -> Array:
         dists = jnp.linalg.norm(cart, axis=-1, keepdims=True)  # (B, H, W, 1)
         lo = jnp.asarray(self.lower_bounds, dtype=dists.dtype)

@@ -89,6 +89,18 @@ def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
         # are free to be released before the backward pass.
         tgts = jax.lax.stop_gradient(compute_batch_targets(batch, config))
 
+        # Rematerialize the loss region (config.remat): the affinity +
+        # varifocal + L1 elementwise chains hold several hundred MB of
+        # (B, H, W, C) fp32 intermediates for the backward pass;
+        # recomputing them from the (much smaller) head outputs frees that
+        # headroom — together with the stem layout fix this is what lets
+        # flagship batch 2 train on a 16 GB chip (costs ~6% step time).
+        def loss_from_outputs(outputs):
+            return detection_loss(outputs, batch, config, tgts=tgts)
+
+        if config.remat:
+            loss_from_outputs = jax.checkpoint(loss_from_outputs)
+
         def loss_fn(params):
             outputs, mutated = apply_model(
                 params,
@@ -97,7 +109,7 @@ def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
                 batch["cart"],
                 batch["mask"],
             )
-            loss, metrics = detection_loss(outputs, batch, config, tgts=tgts)
+            loss, metrics = loss_from_outputs(outputs)
             return loss, (metrics, mutated["batch_stats"])
 
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
