@@ -86,16 +86,40 @@ class MetaKernel(nn.Module):
             param_dtype=self.param_dtype,
         )(features, train=train)
 
-        pos_layers = [
-            ConvNormAct(
+        # Pos MLP as explicit conv/BN pairs (not ConvNormAct) so the
+        # accumulate path can exploit the first conv's linearity: with no
+        # bias (BN follows), pos0(rel_n) = conv0(cart(p+d)) - conv0(cart(p))
+        # — ONE projection of cart shared by all 9 neighbors instead of 9.
+        pos_convs = [
+            nn.Conv(
                 C,
                 kernel_size=(1, 1),
+                use_bias=False,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-                name=f"pos_{i}",
+                name=f"pos_{i}_conv",
             )
             for i in range(self.num_layers)
         ]
+        pos_bns = [
+            nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name=f"pos_{i}_bn",
+            )
+            for i in range(self.num_layers)
+        ]
+
+        def pos_tail(x, start):
+            """BN + ReLU of layer ``start``, then the remaining pos layers."""
+            for i in range(start, self.num_layers):
+                if i > start:
+                    x = pos_convs[i](x)
+                x = nn.relu(pos_bns[i](x).astype(self.dtype))
+            return x
         # Fusion layer 1 as an explicit blocked kernel (nn2, C, C): in the
         # stacked path it is exactly Dense(nn2*C -> C) on the neighbor-major
         # concat; in the accumulate path each block multiplies one neighbor.
@@ -146,21 +170,21 @@ class MetaKernel(nn.Module):
             # at B=2. The batch fold costs only sublane padding
             # (2*9=18 -> 24, 1.3x on the largest stem buffer).
             pos = rel.reshape(B * nn2, H, W, 3)
-            for layer in pos_layers:
-                pos = layer(pos, train=train)
+            pos = pos_tail(pos_convs[0](pos), 0)
             pos = pos.reshape(B, nn2, H, W, C)
             geo = jnp.einsum(
                 "bnhwc,nco->bhwo", pos * neighbors, kernel
             )
         else:
+            # conv0 is linear and bias-free, so all 9 neighbor projections
+            # come from ONE conv of cart: pos0_n = shift_n(g) - g.
+            g = pos_convs[0](cart)
             geo = None
             idx = 0
             for dy in range(n):
                 for dx in range(n):
-                    rel = _neighbor_view(cart, dy, dx, pad) - cart
-                    pos = rel
-                    for layer in pos_layers:
-                        pos = layer(pos, train=train)
+                    x0 = _neighbor_view(g, dy, dx, pad) - g
+                    pos = pos_tail(x0, 0)
                     term = jnp.einsum(
                         "bhwc,co->bhwo",
                         pos * _neighbor_view(feats, dy, dx, pad),

@@ -1,0 +1,117 @@
+"""Serving-export tests: BN folding equivalence + artifact roundtrip.
+
+Reference flow being replaced: checkpoint-restore predict
+(``tools/benchmark.py:60-63``).
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+
+def _small_cfg():
+    from range_view_3d_detection_tpu.models.detector import DetectorConfig
+
+    return DetectorConfig(
+        tasks=((0, ("PEDESTRIAN", "REGULAR_VEHICLE")),),
+        in_channels=5,
+        layers=(32, 16, 16, 16, 16),
+        stem_type="META",
+        fpn=((1, 32),),
+        fpn_kernel_sizes=((1, (3, 3)),),
+        classification_head_channels=32,
+        regression_head_channels=32,
+        num_classification_blocks=1,
+        num_regression_blocks=1,
+        max_boxes=8,
+        dtype="float32",
+    )
+
+
+def _inputs(B=1, H=16, W=64, C=5, seed=0):
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    cart = rng.normal(size=(B, H, W, 3)).astype(np.float32) * 10
+    mask = rng.uniform(size=(B, H, W)) > 0.2
+    return feats, cart, mask
+
+
+def test_fold_batch_norms_equivalence():
+    from export import fold_batch_norms
+
+    from range_view_3d_detection_tpu.models.detector import Detector
+
+    cfg = _small_cfg()
+    model = Detector(cfg)
+    feats, cart, mask = _inputs()
+    variables = model.init(
+        jax.random.PRNGKey(0), feats, cart, mask, train=False
+    )
+    # Give the running stats non-trivial values (fresh init is 0/1).
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            x + 0.3 if any("mean" in str(p) for p in path) else x
+        ),
+        variables,
+    )
+    variables = jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            x * 1.7 if any("var" in str(p) for p in path) else x
+        ),
+        variables,
+    )
+    out_ref = model.apply(variables, feats, cart, mask, train=False)
+
+    folded = fold_batch_norms(jax.device_get(variables))
+    out_folded = model.apply(folded, feats, cart, mask, train=False)
+
+    for stride in out_ref["head"]:
+        for t in out_ref["head"][stride]:
+            np.testing.assert_allclose(
+                np.asarray(out_ref["head"][stride][t]["logits"]),
+                np.asarray(out_folded["head"][stride][t]["logits"]),
+                atol=2e-4,
+                rtol=2e-4,
+            )
+
+
+def test_artifact_roundtrip(tmp_path):
+    from export import export_artifact, load_artifact
+
+    from range_view_3d_detection_tpu.models.decoder import (
+        DecoderConfig,
+        decode,
+    )
+    from range_view_3d_detection_tpu.models.detector import Detector
+
+    cfg = _small_cfg()
+    model = Detector(cfg)
+    feats, cart, mask = _inputs()
+    variables = model.init(
+        jax.random.PRNGKey(1), feats, cart, mask, train=False
+    )
+    dec_cfg = DecoderConfig(nms_cap=64, num_post_nms=16)
+
+    export_artifact(variables, cfg, dec_cfg, tmp_path / "art")
+    predict, det_cfg2, dec_cfg2 = load_artifact(tmp_path / "art")
+    assert det_cfg2 == cfg
+    assert dec_cfg2 == dec_cfg
+
+    got = predict(feats, cart, mask)
+    want = decode(
+        model.apply(variables, feats, cart, mask, train=False),
+        dec_cfg,
+        cfg.tasks_dict,
+        use_nms=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cuboids), np.asarray(want.cuboids), atol=1e-4
+    )
