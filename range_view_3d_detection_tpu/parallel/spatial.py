@@ -14,10 +14,15 @@ inference), the natural TPU strategy is to shard the *width* axis over the
 - the stem/backbone/head run on the locally-padded slice, and the halo
   region is cropped from the outputs.
 
-This is exact when ``halo`` covers the network's receptive-field radius
-and the width strides divide the local slice; the helper asserts the
-latter. Collectives are two neighbor ``ppermute``s per step — pure ICI
-traffic with no all-to-all.
+Exactness: per *operation* the halo mechanism is exact up to the halo
+width (``tests/test_spatial_sharding.py::test_width_sharded_conv_exact``).
+For the FULL detector the stride-16 aggregation (deconv) path spreads a
+pixel's influence across the entire azimuth, so any bounded halo makes
+the sharded network an *approximation* of the global one, with error
+controlled by ``halo`` relative to the shard width; gradients flow
+through the ppermute halos and stay aligned with the global model's
+(``test_width_sharded_training_gradient_quality``). Collectives are two
+neighbor ``ppermute``s per step — pure ICI traffic with no all-to-all.
 """
 
 from __future__ import annotations

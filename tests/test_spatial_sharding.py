@@ -112,3 +112,99 @@ def test_width_sharded_detector_smoke():
     logits = np.asarray(out["head"][1][0]["logits"])
     assert logits.shape == (1, 8, 64, 2)
     assert np.isfinite(logits).all()
+
+
+def _grad_cosine_and_err(halo, mesh, model, variables, batch, readout):
+    import jax.numpy as jnp
+
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    r4, r3 = width_shardings(mesh)
+    fg = jax.device_put(batch["features"], r4)
+    cg = jax.device_put(batch["cart"], r4)
+    mg = jax.device_put(batch["mask"], r3)
+
+    def sharded_loss(params):
+        out = width_sharded_forward(
+            lambda v, f, c, m: model.apply(v, f, c, m, train=False),
+            mesh,
+            {"params": params, **rest},
+            fg,
+            cg,
+            mg,
+            halo=halo,
+        )
+        return readout(out)
+
+    def global_loss(params):
+        out = model.apply(
+            {"params": params, **rest},
+            batch["features"],
+            batch["cart"],
+            batch["mask"],
+            train=False,
+        )
+        return readout(out)
+
+    l_s, g_s = jax.value_and_grad(sharded_loss)(params)
+    l_g, g_g = jax.value_and_grad(global_loss)(params)
+    fs = jnp.concatenate(
+        [x.reshape(-1) for x in jax.tree_util.tree_leaves(g_s)]
+    )
+    fg_ = jnp.concatenate(
+        [x.reshape(-1) for x in jax.tree_util.tree_leaves(g_g)]
+    )
+    cos = float(
+        jnp.vdot(fs, fg_)
+        / (jnp.linalg.norm(fs) * jnp.linalg.norm(fg_) + 1e-12)
+    )
+    rel_l = abs(float(l_s) - float(l_g)) / (abs(float(l_g)) + 1e-12)
+    rel_g = float(jnp.linalg.norm(fs - fg_) / (jnp.linalg.norm(fg_) + 1e-12))
+    return rel_l, rel_g, cos
+
+
+def test_width_sharded_training_gradient_quality():
+    """Backward through the shard_map halo exchange (NEXT.md item 6:
+    width-sharded *training*).
+
+    The detector\'s stride-16 aggregation path has a receptive field that
+    spans the full azimuth, so bounded-halo width sharding is an
+    APPROXIMATION of the global network (per-op exactness up to the halo
+    is covered by ``test_width_sharded_conv_exact``). This test asserts
+    the training path works: gradients flow through the ppermute halos,
+    are finite, and stay aligned with the global model\'s gradients at a
+    toy scale where the halo is a large fraction of the shard width —
+    the weakest case for the approximation.
+    """
+    import jax.numpy as jnp
+
+    from range_view_3d_detection_tpu.models.detector import Detector
+    from tests.test_model import tiny_batch, tiny_config
+
+    mesh = make_mesh(num_data=1, num_model=2)
+    cfg = tiny_config(stem_type="BASIC")
+    batch = tiny_batch(B=1)
+    model = Detector(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["features"],
+        batch["cart"],
+        batch["mask"],
+        train=False,
+    )
+
+    def readout(out):
+        total = 0.0
+        for s in out["head"]:
+            for t in out["head"][s]:
+                for name, arr in out["head"][s][t].items():
+                    w = jnp.cos(jnp.arange(arr.size, dtype=jnp.float32))
+                    total = total + jnp.vdot(arr.reshape(-1), w)
+        return total
+
+    rel_l, rel_g, cos = _grad_cosine_and_err(
+        16, mesh, model, variables, batch, readout
+    )
+    assert np.isfinite(rel_g)
+    assert cos > 0.75, f"gradient cosine {cos}"
+    assert rel_l < 0.05, f"loss rel err {rel_l}"
