@@ -48,13 +48,56 @@ def _require_waymo():
         ) from exc
 
 
+def euler_to_matrix(roll, pitch, yaw) -> np.ndarray:
+    """Z-Y-X Euler angles -> (..., 3, 3) rotation (the SDK's
+    ``transform_utils.get_rotation_matrix`` convention)."""
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    zeros = np.zeros_like(cr)
+    ones = np.ones_like(cr)
+    rz = np.stack(
+        [
+            np.stack([cy, -sy, zeros], -1),
+            np.stack([sy, cy, zeros], -1),
+            np.stack([zeros, zeros, ones], -1),
+        ],
+        -2,
+    )
+    ry = np.stack(
+        [
+            np.stack([cp, zeros, sp], -1),
+            np.stack([zeros, ones, zeros], -1),
+            np.stack([-sp, zeros, cp], -1),
+        ],
+        -2,
+    )
+    rx = np.stack(
+        [
+            np.stack([ones, zeros, zeros], -1),
+            np.stack([zeros, cr, -sr], -1),
+            np.stack([zeros, sr, cr], -1),
+        ],
+        -2,
+    )
+    return rz @ ry @ rx
+
+
 def convert_range_image_to_cartesian(frame, range_images, range_image_top_pose):
     """First-return TOP range image -> (64, 2650, 6) columns, keeping the
     polar features (range/intensity/elongation) alongside Cartesian
-    (reference export.py:55-132). No-label-zone pixels are masked out."""
-    import tensorflow as tf
+    (reference export.py:55-132). No-label-zone pixels are masked out.
+
+    The geometry (polar -> vehicle frame with rolling-shutter per-pixel
+    poses) runs in pure numpy (``converters/waymo/range_image.py``); the
+    SDK is only needed upstream to parse the TFRecord protos.
+    """
     from waymo_open_dataset import dataset_pb2
-    from waymo_open_dataset.utils import frame_utils, range_image_utils, transform_utils
+
+    from converters.waymo.range_image import (
+        compute_inclinations,
+        polar_to_cartesian,
+    )
 
     calib = next(
         c
@@ -62,49 +105,44 @@ def convert_range_image_to_cartesian(frame, range_images, range_image_top_pose):
         if c.name == dataset_pb2.LaserName.TOP
     )
     ri = range_images[dataset_pb2.LaserName.TOP][0]
-    ri_tensor = tf.reshape(
-        tf.convert_to_tensor(ri.data), ri.shape.dims
+    ri_tensor = np.asarray(ri.data, np.float32).reshape(
+        ri.shape.dims
     )  # (64, 2650, 4): range, intensity, elongation, is_in_nlz
 
     extrinsic = np.reshape(np.array(calib.extrinsic.transform), [4, 4])
     if len(calib.beam_inclinations) == 0:
-        inclinations = range_image_utils.compute_inclination(
-            tf.constant(
-                [calib.beam_inclination_min, calib.beam_inclination_max]
-            ),
-            height=ri.shape.dims[0],
+        inclinations = compute_inclinations(
+            calib.beam_inclination_min,
+            calib.beam_inclination_max,
+            ri.shape.dims[0],
         )
     else:
-        inclinations = tf.constant(calib.beam_inclinations)
-    inclinations = tf.reverse(inclinations, axis=[-1])
+        inclinations = np.asarray(calib.beam_inclinations, np.float64)
+    inclinations = inclinations[::-1]
 
-    pose_tensor = tf.reshape(
-        tf.convert_to_tensor(range_image_top_pose.data),
-        range_image_top_pose.shape.dims,
-    )
-    pose_rot = transform_utils.get_rotation_matrix(
+    pose_tensor = np.asarray(range_image_top_pose.data, np.float64).reshape(
+        range_image_top_pose.shape.dims
+    )  # (H, W, 6): roll, pitch, yaw, x, y, z
+    pose_full = np.zeros(pose_tensor.shape[:2] + (4, 4))
+    pose_full[..., :3, :3] = euler_to_matrix(
         pose_tensor[..., 0], pose_tensor[..., 1], pose_tensor[..., 2]
     )
-    pose_full = transform_utils.get_transform(pose_rot, pose_tensor[..., 3:])
+    pose_full[..., :3, 3] = pose_tensor[..., 3:]
+    pose_full[..., 3, 3] = 1.0
 
-    cart = range_image_utils.extract_point_cloud_from_range_image(
-        tf.expand_dims(ri_tensor[..., 0], 0),
-        tf.expand_dims(tf.convert_to_tensor(extrinsic, tf.float32), 0),
-        tf.expand_dims(inclinations, 0),
-        pixel_pose=tf.expand_dims(pose_full, 0),
-        frame_pose=tf.expand_dims(
-            tf.convert_to_tensor(
-                np.reshape(np.array(frame.pose.transform), [4, 4]), tf.float32
-            ),
-            0,
-        ),
+    frame_pose = np.reshape(np.array(frame.pose.transform), [4, 4])
+    cart = polar_to_cartesian(
+        ri_tensor[..., 0].astype(np.float64),
+        inclinations,
+        extrinsic,
+        pixel_pose=pose_full,
+        frame_pose=frame_pose,
     )
-    cart = tf.squeeze(cart, 0).numpy()  # (64, 2650, 3)
 
-    rng = ri_tensor[..., 0].numpy()
-    intensity = ri_tensor[..., 1].numpy()
-    elongation = ri_tensor[..., 2].numpy()
-    nlz = ri_tensor[..., 3].numpy() if ri_tensor.shape[-1] > 3 else -np.ones_like(rng)
+    rng = ri_tensor[..., 0]
+    intensity = ri_tensor[..., 1]
+    elongation = ri_tensor[..., 2]
+    nlz = ri_tensor[..., 3] if ri_tensor.shape[-1] > 3 else -np.ones_like(rng)
 
     valid = (rng > 0) & (nlz < 0)  # mask no-label zones (export.py:129-132)
     rng = np.where(valid, rng, 0.0)
