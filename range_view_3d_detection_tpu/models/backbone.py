@@ -91,6 +91,7 @@ class RangeNet(nn.Module):
     num_layers: int = 2
     projection_kernel_size: int = 1
     remat: bool = False
+    stem_pallas: bool = False  # fused Pallas eval path for the META stem
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -115,6 +116,7 @@ class RangeNet(nn.Module):
                 self.layers[0],
                 num_neighbors=self.num_neighbors,
                 num_layers=self.num_layers,
+                use_pallas_kernel=self.stem_pallas,
                 **kw,
             )(features, cart, train)
         elif stem_type == "RANGE_PARTITION":

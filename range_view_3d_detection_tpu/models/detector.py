@@ -79,6 +79,8 @@ class DetectorConfig:
     # (nn.remat): trades recompute for activation memory — the v5e has
     # 16 GB HBM vs the reference A40's 48 GB.
     remat: bool = False
+    # Fused Pallas eval path for the META stem (kernels/stem_pallas.py).
+    stem_pallas: bool = False
 
     @property
     def tasks_dict(self) -> Dict[int, Tuple[str, ...]]:
@@ -117,6 +119,7 @@ class Detector(nn.Module):
             num_layers=cfg.num_stem_layers,
             projection_kernel_size=cfg.projection_kernel_size,
             remat=cfg.remat,
+            stem_pallas=cfg.stem_pallas,
             dtype=dt,
             param_dtype=jnp.float32,
         )(features, cart, maskf, train=train)

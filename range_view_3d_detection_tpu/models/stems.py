@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -68,6 +69,7 @@ class MetaKernel(nn.Module):
     num_neighbors: int = 3
     num_layers: int = 2
     inference_accumulate: bool = True  # loop-accumulate eval path
+    use_pallas_kernel: bool = False  # fused single-pass eval kernel
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -86,39 +88,78 @@ class MetaKernel(nn.Module):
             param_dtype=self.param_dtype,
         )(features, train=train)
 
-        # Pos MLP as explicit conv/BN pairs (not ConvNormAct) so the
-        # accumulate path can exploit the first conv's linearity: with no
-        # bias (BN follows), pos0(rel_n) = conv0(cart(p+d)) - conv0(cart(p))
-        # — ONE projection of cart shared by all 9 neighbors instead of 9.
-        pos_convs = [
-            nn.Conv(
-                C,
-                kernel_size=(1, 1),
-                use_bias=False,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"pos_{i}_conv",
+        # Pos MLP as explicit kernel params + manual BN (not ConvNormAct):
+        # 1x1 convs are channel matmuls, and the accumulate/Pallas paths
+        # need direct access to the weights and eval-BN affines — flax
+        # submodule params aren't reachable without calling the module.
+        # conv0's linearity (bias-free, BN follows) also lets those paths
+        # compute pos0(rel_n) = conv0(cart(p+d)) - conv0(cart(p)) from ONE
+        # projection of cart shared by all 9 neighbors.
+        pos_kernels = [
+            self.param(
+                f"pos_{i}_conv_kernel",
+                nn.initializers.lecun_normal(),
+                (3 if i == 0 else C, C),
+                self.param_dtype,
             )
             for i in range(self.num_layers)
         ]
-        pos_bns = [
-            nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                param_dtype=jnp.float32,
-                name=f"pos_{i}_bn",
+
+        def pos_conv(x, i):
+            return x.astype(self.dtype) @ pos_kernels[i].astype(self.dtype)
+        # Pos-MLP BatchNorms as explicit params/variables (flax.BatchNorm
+        # semantics: momentum 0.9, eps 1e-5, biased batch variance) so the
+        # fused Pallas path can read the eval-mode affine directly — a
+        # flax submodule's variables aren't reachable without calling it.
+        eps = 1e-5
+        momentum = 0.9
+        bn_vars = []
+        for i in range(self.num_layers):
+            scale = self.param(
+                f"pos_{i}_bn_scale", nn.initializers.ones, (C,), jnp.float32
             )
-            for i in range(self.num_layers)
-        ]
+            bias = self.param(
+                f"pos_{i}_bn_bias", nn.initializers.zeros, (C,), jnp.float32
+            )
+            mean = self.variable(
+                "batch_stats",
+                f"pos_{i}_bn_mean",
+                lambda: jnp.zeros((C,), jnp.float32),
+            )
+            var = self.variable(
+                "batch_stats",
+                f"pos_{i}_bn_var",
+                lambda: jnp.ones((C,), jnp.float32),
+            )
+            bn_vars.append((scale, bias, mean, var))
+
+        def pos_bn(x, i):
+            scale, bias, mean, var = bn_vars[i]
+            xf = x.astype(jnp.float32)
+            if train:
+                axes = tuple(range(x.ndim - 1))
+                m = xf.mean(axes)
+                v = jnp.square(xf).mean(axes) - jnp.square(m)
+                if not self.is_initializing():
+                    mean.value = momentum * mean.value + (1 - momentum) * m
+                    var.value = momentum * var.value + (1 - momentum) * v
+            else:
+                m, v = mean.value, var.value
+            y = (xf - m) * jax.lax.rsqrt(v + eps) * scale + bias
+            return y
+
+        def bn_eval_affine(i):
+            """(a, b) with eval BN(x) == a * x + b (f32)."""
+            scale, bias, mean, var = bn_vars[i]
+            a = scale * jax.lax.rsqrt(var.value + eps)
+            return a, bias - mean.value * a
 
         def pos_tail(x, start):
             """BN + ReLU of layer ``start``, then the remaining pos layers."""
             for i in range(start, self.num_layers):
                 if i > start:
-                    x = pos_convs[i](x)
-                x = nn.relu(pos_bns[i](x).astype(self.dtype))
+                    x = pos_conv(x, i)
+                x = nn.relu(pos_bn(x, i).astype(self.dtype))
             return x
         # Fusion layer 1 as an explicit blocked kernel (nn2, C, C): in the
         # stacked path it is exactly Dense(nn2*C -> C) on the neighbor-major
@@ -170,15 +211,37 @@ class MetaKernel(nn.Module):
             # at B=2. The batch fold costs only sublane padding
             # (2*9=18 -> 24, 1.3x on the largest stem buffer).
             pos = rel.reshape(B * nn2, H, W, 3)
-            pos = pos_tail(pos_convs[0](pos), 0)
+            pos = pos_tail(pos_conv(pos, 0), 0)
             pos = pos.reshape(B, nn2, H, W, C)
             geo = jnp.einsum(
                 "bnhwc,nco->bhwo", pos * neighbors, kernel
             )
+        elif self.use_pallas_kernel and self.num_layers == 2:
+            # Fused single-pass Pallas kernel (kernels/stem_pallas.py):
+            # reads g/feats once, all 9 neighbor matmuls VMEM-resident.
+            from range_view_3d_detection_tpu.kernels.stem_pallas import (
+                meta_kernel_fused,
+            )
+
+            g = pos_conv(cart, 0)
+            a0, b0 = bn_eval_affine(0)
+            a1, b1 = bn_eval_affine(1)
+            geo = meta_kernel_fused(
+                g,
+                feats,
+                pos_kernels[1].astype(self.dtype),
+                kernel,
+                a0,
+                b0,
+                a1,
+                b1,
+                num_neighbors=n,
+                interpret=jax.default_backend() == "cpu",
+            )
         else:
             # conv0 is linear and bias-free, so all 9 neighbor projections
             # come from ONE conv of cart: pos0_n = shift_n(g) - g.
-            g = pos_convs[0](cart)
+            g = pos_conv(cart, 0)
             geo = None
             idx = 0
             for dy in range(n):

@@ -75,6 +75,7 @@ def build_detector_config(cfg: Dict[str, Any]) -> DetectorConfig:
         stem_type=str(bb.get("stem_type", "BASIC")),
         num_neighbors=int(bb.get("num_neighbors", 3)),
         num_stem_layers=int(bb.get("num_layers", 2)),
+        stem_pallas=bool(bb.get("stem_pallas", False)),
         projection_kernel_size=int(bb.get("projection_kernel_size", 1)),
         fpn=fpn,
         fpn_kernel_sizes=fks,
