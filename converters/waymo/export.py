@@ -92,19 +92,22 @@ def convert_range_image_to_cartesian(frame, range_images, range_image_top_pose):
     poses) runs in pure numpy (``converters/waymo/range_image.py``); the
     SDK is only needed upstream to parse the TFRecord protos.
     """
-    from waymo_open_dataset import dataset_pb2
-
     from converters.waymo.range_image import (
         compute_inclinations,
         polar_to_cartesian,
     )
 
+    try:  # LaserName.TOP == 1 in the WOD proto; constant when SDK absent
+        from waymo_open_dataset import dataset_pb2
+
+        top = dataset_pb2.LaserName.TOP
+    except ImportError:
+        top = 1
+
     calib = next(
-        c
-        for c in frame.context.laser_calibrations
-        if c.name == dataset_pb2.LaserName.TOP
+        c for c in frame.context.laser_calibrations if c.name == top
     )
-    ri = range_images[dataset_pb2.LaserName.TOP][0]
+    ri = range_images[top][0]
     ri_tensor = np.asarray(ri.data, np.float32).reshape(
         ri.shape.dims
     )  # (64, 2650, 4): range, intensity, elongation, is_in_nlz
@@ -216,15 +219,17 @@ def build_argo_label(frame, cart: Dict[str, np.ndarray]) -> Dict[str, np.ndarray
     return {k: np.asarray(v) for k, v in cols.items()}
 
 
-def export_log(tfrecord_path: Path, dst_log_dir: Path) -> int:
-    """Convert one TFRecord segment; returns sweep count."""
+def _read_frames(tfrecord_path: Path):
+    """Yield (frame, range_images, range_image_top_pose) per sweep.
+
+    The only function that touches TensorFlow + the WOD SDK (TFRecord +
+    proto parsing); everything downstream is SDK-free numpy and is
+    covered by fixtures (``tests/test_waymo_converter.py``).
+    """
     import tensorflow as tf
     from waymo_open_dataset import dataset_pb2
     from waymo_open_dataset.utils import frame_utils
 
-    num_pts_rows = []
-    ann_frames = []
-    n = 0
     for data in tf.data.TFRecordDataset(str(tfrecord_path), compression_type=""):
         frame = dataset_pb2.Frame()
         frame.ParseFromString(bytearray(data.numpy()))
@@ -234,6 +239,23 @@ def export_log(tfrecord_path: Path, dst_log_dir: Path) -> int:
             _,
             range_image_top_pose,
         ) = frame_utils.parse_range_image_and_camera_projection(frame)
+        yield frame, range_images, range_image_top_pose
+
+
+def export_log(tfrecord_path: Path, dst_log_dir: Path, *, frames=None) -> int:
+    """Convert one segment; returns sweep count.
+
+    ``frames`` overrides the TFRecord reader with any iterable of
+    (frame, range_images, range_image_top_pose) — duck-typed protos are
+    enough (used by the fixture tests; mirrors reference export.py:181+).
+    """
+    if frames is None:
+        frames = _read_frames(tfrecord_path)
+
+    num_pts_rows = []
+    ann_frames = []
+    n = 0
+    for frame, range_images, range_image_top_pose in frames:
         cols = convert_range_image_to_cartesian(
             frame, range_images, range_image_top_pose
         )

@@ -183,3 +183,87 @@ def test_euler_matches_scipy():
     got = euler_to_matrix(*[np.float64(v) for v in rpy])
     want = Rotation.from_euler("ZYX", [rpy[2], rpy[1], rpy[0]]).as_matrix()
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def _fake_frame(ts_us, n_labels=2, H=8, W=64, seed=0):
+    """Duck-typed WOD Frame + range images for export_log."""
+    rng = np.random.default_rng(seed)
+
+    class RI:
+        pass
+
+    ri = RI()
+    ri.shape = SimpleNamespace(dims=[H, W, 4])
+    ranges = rng.uniform(2, 50, (H, W)).astype(np.float32)
+    ranges[0, :4] = 0.0  # empty pixels
+    nlz = -np.ones((H, W), np.float32)
+    nlz[1, :4] = 1.0  # no-label zone
+    ri.data = np.stack(
+        [
+            ranges,
+            rng.uniform(0, 1, (H, W)).astype(np.float32),
+            rng.uniform(0, 1, (H, W)).astype(np.float32),
+            nlz,
+        ],
+        axis=-1,
+    ).reshape(-1)
+
+    pose_ri = RI()
+    pose_ri.shape = SimpleNamespace(dims=[H, W, 6])
+    pose = np.zeros((H, W, 6))
+    pose_ri.data = pose.reshape(-1)
+
+    calib = SimpleNamespace(
+        name=1,  # LaserName.TOP
+        extrinsic=SimpleNamespace(transform=np.eye(4).reshape(-1).tolist()),
+        beam_inclinations=np.linspace(-0.3, 0.3, H).tolist(),
+        beam_inclination_min=-0.3,
+        beam_inclination_max=0.3,
+    )
+    frame = SimpleNamespace(
+        context=SimpleNamespace(laser_calibrations=[calib]),
+        pose=SimpleNamespace(transform=np.eye(4).reshape(-1).tolist()),
+        timestamp_micros=ts_us,
+        laser_labels=[
+            _fake_label(10.0 + 3 * i, 0.0, 0.0, 4.0, 2.0, 2.0, 0.0, 1, 0)
+            for i in range(n_labels)
+        ],
+    )
+    return frame, {1: [ri]}, pose_ri
+
+
+def test_export_log_end_to_end(tmp_path):
+    """export_log with duck-typed frames: full on-disk layout without the
+    WOD SDK (reference export.py:181-285 flow)."""
+    from converters.waymo.export import export_log
+    from range_view_3d_detection_tpu.utils.feather import read_feather
+
+    frames = [_fake_frame(1_000_000, seed=1), _fake_frame(1_100_000, seed=2)]
+    dst = tmp_path / "log_w"
+    n = export_log(None, dst, frames=iter(frames))
+    assert n == 2
+
+    sweeps = sorted((dst / "sensors" / "range_view").glob("*.feather"))
+    assert [p.stem for p in sweeps] == ["1000000000", "1100000000"]
+    rv = read_feather(sweeps[0])
+    H, W = 8, 64
+    assert len(rv["range"]) == H * W
+    r = rv["range"].reshape(H, W)
+    assert (r[0, :4] == 0).all()  # empty stays empty
+    assert (r[1, :4] == 0).all()  # no-label zone masked
+    # Identity extrinsic + identity poses: range == |xyz|.
+    valid = rv["range"] > 0
+    xyz = np.stack([rv["x"], rv["y"], rv["z"]], -1)
+    np.testing.assert_allclose(
+        np.linalg.norm(xyz[valid], axis=-1), rv["range"][valid], rtol=1e-5
+    )
+
+    ann = read_feather(dst / "annotations.feather")
+    assert (ann["category"] == "VEHICLE").all()
+    assert len(ann["timestamp_ns"]) == 4  # 2 labels x 2 sweeps
+
+    meta = read_feather(dst / "metadata.feather")
+    np.testing.assert_array_equal(
+        meta["timestamp_ns"], [1_000_000_000, 1_100_000_000]
+    )
+    assert (meta["num_pts"] > 0).all()
