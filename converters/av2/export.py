@@ -349,6 +349,18 @@ def export_log(
             ann["is_within_roi"] = annotation_roi_flags(ann, roi_map, poses)
         write_feather(dst_log_dir / "annotations.feather", ann)
 
+    # Carry poses + map through (reference copies annotations/poses/map —
+    # export.py:31-163); evaluation needs them for detection-side ROI.
+    import shutil
+
+    if pose_path.is_file():
+        shutil.copy(pose_path, dst_log_dir / pose_path.name)
+    map_dir = log_dir / "map"
+    if map_dir.is_dir():
+        shutil.copytree(
+            map_dir, dst_log_dir / "map", dirs_exist_ok=True
+        )
+
 
 def export_dataset(
     src_root_dir: str,

@@ -326,6 +326,49 @@ def _join_valid_uuids(
     )
 
 
+def annotate_detection_roi(
+    dts: Dict[str, np.ndarray], split_dir: Path
+) -> Dict[str, np.ndarray]:
+    """Add ``is_within_roi`` to predictions from the converted logs' maps.
+
+    The official devkit filters *both* detections and ground truth to the
+    mapped ROI (``compute_objects_in_roi_mask``); GT flags are written by
+    the converter, detection flags are computed here at eval time:
+    det centers go ego -> city via the log's pose track, then query the
+    same rasterized drivable-area+5m ROI. Logs without a map dir keep
+    all detections (flag True).
+    """
+    n = len(dts.get("tx_m", []))
+    if n == 0:
+        return dts
+    from converters.av2.export import _slerp_poses
+    from converters.av2.roi import load_roi_map
+
+    flags = np.ones(n, bool)
+    log_ids = np.asarray(dts["log_id"], str)
+    for log_id in np.unique(log_ids):
+        log_dir = Path(split_dir) / str(log_id)
+        roi_map = load_roi_map(log_dir)
+        pose_path = log_dir / "city_SE3_egovehicle.feather"
+        if roi_map is None or not pose_path.is_file():
+            continue
+        poses = read_feather(pose_path)
+        sel = np.flatnonzero(log_ids == log_id)
+        ts = np.asarray(dts["timestamp_ns"])[sel].astype(np.int64)
+        city_from_ego = _slerp_poses(poses, ts)
+        xy_ego = np.stack(
+            [np.asarray(dts["tx_m"])[sel], np.asarray(dts["ty_m"])[sel]], -1
+        )
+        xy_city = (
+            np.einsum("nij,nj->ni", city_from_ego[:, :2, :2], xy_ego)
+            + city_from_ego[:, :2, 3]
+        )
+        flags[sel] = roi_map.contains(xy_city)
+    out = dict(dts)
+    out["is_within_roi"] = flags
+    return out
+
+
 def load_ground_truth(split_dir: Path) -> Dict[str, np.ndarray]:
     """Load and concatenate all logs' annotations with log_id columns."""
     cols: Dict[str, List[np.ndarray]] = {}
@@ -387,6 +430,8 @@ def evaluate_predictions(
         dts["timestamp_ns"] = np.zeros(0, np.int64)
     dts = dedupe_predictions(dts)
     dts, gts = _join_valid_uuids(dts, gts)
+    if eval_only_roi_instances:
+        dts = annotate_detection_roi(dts, gt_split_dir)
     return evaluate(
         dts,
         gts,

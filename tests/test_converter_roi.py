@@ -196,3 +196,34 @@ def test_ego_offset_transforms_to_city(tmp_path):
     far = xs > 26  # city x > 56: outside buffer
     assert near.any() and roi[near].all()
     assert far.any() and (~roi[far]).all()
+
+
+def test_detection_roi_annotation(tmp_path):
+    """Detections on sweeps of a mapped log get is_within_roi from the
+    ego->city transform + raster query (devkit filters detections too)."""
+    from range_view_3d_detection_tpu.evaluation.av2_eval import (
+        annotate_detection_roi,
+    )
+
+    src = tmp_path / "raw"
+    _write_mini_log(src, log_id="log_det", ego_xy=(30.0, 0.0))
+    dst = tmp_path / "converted"
+    export_dataset(str(src), str(dst), height=64, width=128, splits=("train",))
+
+    ts = 5_000_000_000
+    dts = {
+        "tx_m": np.asarray([-25.0, 25.0]),  # city x = 5 (in) / 55 (out)
+        "ty_m": np.asarray([0.0, 0.0]),
+        "tz_m": np.zeros(2),
+        "score": np.asarray([0.9, 0.8]),
+        "log_id": np.asarray(["log_det", "log_det"]),
+        "timestamp_ns": np.asarray([ts, ts], np.int64),
+    }
+    out = annotate_detection_roi(dts, dst / "train")
+    np.testing.assert_array_equal(out["is_within_roi"], [True, False])
+
+    # Logs without maps keep everything.
+    dts2 = dict(dts)
+    dts2["log_id"] = np.asarray(["nolog", "nolog"])
+    out2 = annotate_detection_roi(dts2, dst / "train")
+    assert out2["is_within_roi"].all()
