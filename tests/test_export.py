@@ -115,3 +115,37 @@ def test_artifact_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got.cuboids), np.asarray(want.cuboids), atol=1e-4
     )
+
+
+def test_aot_export_roundtrip(tmp_path):
+    """jax.export serialization: the AOT artifact runs without model code
+    paths and matches the jitted predict."""
+    from export import export_aot, export_artifact, load_artifact
+
+    from range_view_3d_detection_tpu.models.decoder import DecoderConfig
+    from range_view_3d_detection_tpu.models.detector import Detector
+
+    cfg = _small_cfg()
+    model = Detector(cfg)
+    feats, cart, mask = _inputs()
+    variables = model.init(
+        jax.random.PRNGKey(2), feats, cart, mask, train=False
+    )
+    art = tmp_path / "art"
+    export_artifact(
+        variables, cfg, DecoderConfig(nms_cap=64, num_post_nms=16), art
+    )
+    p = export_aot(art, batch=1, height=16, width=64)
+
+    from jax import export as jax_export
+
+    restored = jax_export.deserialize(p.read_bytes())
+    got = restored.call(feats, cart, mask)
+    predict, _, _ = load_artifact(art)
+    want = predict(feats, cart, mask)
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cuboids), np.asarray(want.cuboids), atol=1e-5
+    )

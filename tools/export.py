@@ -34,6 +34,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 EPS = 1e-5  # flax BatchNorm epsilon used across the model
@@ -199,6 +200,44 @@ def stream_bench(predict, *, batch: int, iters: int, H: int, W: int, C: int):
     return fps
 
 
+def export_aot(
+    art_dir: Path, *, batch: int, height: int, width: int
+) -> Path:
+    """Serialize the jitted predict fn (weights baked in) via jax.export.
+
+    Produces a portable StableHLO artifact (``predict_bN.stablehlo``)
+    that deserializes and runs with ``jax.export.deserialize(...).call``
+    on a compatible jax install — no model code, config parsing, or
+    Python weights needed at serving time (the AOT analog of the
+    reference's TorchScript-able predict path).
+    """
+    from jax import export as jax_export
+
+    from range_view_3d_detection_tpu.models.decoder import Proposals
+    from range_view_3d_detection_tpu.ops.nms import NMSResult
+
+    for nt, name in ((NMSResult, "rv3d.NMSResult"), (Proposals, "rv3d.Proposals")):
+        try:
+            jax_export.register_namedtuple_serialization(
+                nt, serialized_name=name
+            )
+        except ValueError:
+            pass  # already registered
+
+    predict, det_cfg, _ = load_artifact(art_dir)
+    C = det_cfg.in_channels
+    specs = (
+        jax.ShapeDtypeStruct((batch, height, width, C), jnp.float32),
+        jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch, height, width), jnp.bool_),
+    )
+    exported = jax_export.export(predict)(*specs)
+    out = art_dir / f"predict_b{batch}.stablehlo"
+    out.write_bytes(exported.serialize())
+    print(f"AOT artifact written to {out} ({out.stat().st_size//1024} KiB)")
+    return out
+
+
 def _restore_from_run_dir(run_dir: Path):
     """Rebuild configs + state from a training run directory (the
     config-in-checkpoint property, ``training/checkpoints.py``)."""
@@ -247,6 +286,7 @@ def main(argv):
     ap.add_argument("--load")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--bench", action="store_true")
+    ap.add_argument("--aot", action="store_true")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--height", type=int, default=64)
@@ -254,6 +294,14 @@ def main(argv):
     args = ap.parse_args(argv)
 
     if args.load:
+        if args.aot:
+            export_aot(
+                Path(args.load),
+                batch=args.batch,
+                height=args.height,
+                width=args.width,
+            )
+            return
         predict, det_cfg, dec_cfg = load_artifact(Path(args.load))
         if args.bench:
             stream_bench(
