@@ -164,3 +164,27 @@ def test_circular_padding(synthetic_root):
     np.testing.assert_allclose(
         item["features"][:, :4], item["features"][:, -8:-4], atol=1e-6
     )
+
+
+def test_every_experiment_composes_and_builds():
+    """All conf/experiment entries compose and produce valid typed
+    configs (catches schema drift like new keys not reaching builders)."""
+    from pathlib import Path
+
+    from range_view_3d_detection_tpu.training.builders import (
+        build_decoder_config,
+        build_detector_config,
+    )
+
+    for path in sorted(Path(CONF).glob("experiment/*.yaml")):
+        name = path.stem
+        if name.startswith("base"):
+            continue  # composition fragments, not launchable entries
+        cfg = compose(CONF, name)
+        det = build_detector_config(cfg)
+        dec = build_decoder_config(cfg)
+        assert det.layers and det.fpn, name
+        assert dec.num_post_nms > 0, name
+        if name in ("rv-av2", "rv-waymo", "rv-av2-fast"):
+            assert det.stem_type == "META", name
+            assert det.stem_pallas, name
