@@ -345,7 +345,10 @@ def export_log(
                 )
 
     if ann is not None:
-        if roi_map is not None:
+        # Poses are required to express the ego-frame cuboids in the
+        # map's city frame; with a map but no poses, skip the flags
+        # (everything stays in-ROI) rather than query garbage coordinates.
+        if roi_map is not None and poses is not None:
             ann["is_within_roi"] = annotation_roi_flags(ann, roi_map, poses)
         write_feather(dst_log_dir / "annotations.feather", ann)
 

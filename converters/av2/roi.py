@@ -79,12 +79,23 @@ class RoiMap:
         return out
 
 
+_ROI_CACHE: dict = {}
+_ROI_CACHE_SIZE = 16
+
+
 def load_roi_map(log_dir: Path) -> Optional[RoiMap]:
-    """Build the ROI raster from a log's map archive, or None if absent."""
+    """Build the ROI raster from a log's map archive, or None if absent.
+
+    Rasterization (polygon fill + 5 m dilation) costs seconds per log, so
+    results are cached by (archive path, mtime) — evaluation calls this
+    once per log per epoch."""
     map_dir = Path(log_dir) / "map"
     archives = sorted(map_dir.glob("log_map_archive_*.json"))
     if not archives:
         return None
+    cache_key = (str(archives[0]), archives[0].stat().st_mtime_ns)
+    if cache_key in _ROI_CACHE:
+        return _ROI_CACHE[cache_key]
     data = json.loads(archives[0].read_text())
     polys: List[np.ndarray] = []
     for area in (data.get("drivable_areas") or {}).values():
@@ -93,6 +104,8 @@ def load_roi_map(log_dir: Path) -> Optional[RoiMap]:
             polys.append(
                 np.asarray([[p["x"], p["y"]] for p in boundary], np.float64)
             )
-    if not polys:
-        return None
-    return RoiMap(polys)
+    roi = RoiMap(polys) if polys else None
+    if len(_ROI_CACHE) >= _ROI_CACHE_SIZE:
+        _ROI_CACHE.pop(next(iter(_ROI_CACHE)))
+    _ROI_CACHE[cache_key] = roi
+    return roi

@@ -293,11 +293,34 @@ def export_scene(
     for part in ann_parts:
         for k, v in part.items():
             merged[k].append(v)
-    if merged:
-        write_feather(
-            dst_log_dir / "annotations.feather",
-            {k: np.concatenate(v) for k, v in merged.items()},
-        )
+    if any(len(v) for v in merged.values()):
+        ann_out = {k: np.concatenate(v) for k, v in merged.items()}
+    else:
+        # A scene whose annotations are all unmapped categories must still
+        # produce a schema-complete (empty) table: the dataset index build
+        # and GT loaders read annotations.feather unconditionally.
+        ann_out = {
+            "timestamp_ns": np.zeros(0, np.int64),
+            "category": np.zeros(0, dtype="<U32"),
+            **{
+                k: np.zeros(0, np.float64)
+                for k in (
+                    "tx_m",
+                    "ty_m",
+                    "tz_m",
+                    "length_m",
+                    "width_m",
+                    "height_m",
+                    "qw",
+                    "qx",
+                    "qy",
+                    "qz",
+                )
+            },
+            "num_interior_pts": np.zeros(0, np.int64),
+        }
+    if n > 0:
+        write_feather(dst_log_dir / "annotations.feather", ann_out)
     if pose_cols:
         write_feather(
             dst_log_dir / "city_SE3_egovehicle.feather",

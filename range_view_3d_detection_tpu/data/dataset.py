@@ -91,9 +91,8 @@ def width_padding(width: int, x_stride: int) -> int:
     unit = 16 * x_stride
     deficit = (-width) % unit
     if deficit % 2:
-        # No symmetric integer pad exists; round up one more unit.
-        deficit += unit
-    if deficit % 2:
+        # unit is even, so an odd deficit (odd width) can never be fixed
+        # by a symmetric integer pad.
         raise ValueError(
             f"width={width} x_stride={x_stride}: no symmetric pad exists"
         )

@@ -7,14 +7,15 @@ protocol is reimplemented here from the AV2 sensor benchmark definition:
 
 - Assignment (per sweep x category): detections sorted by descending
   score; each detection is assigned its *nearest* ground-truth cuboid by
-  3D center distance; at each affinity threshold (0.5, 1.0, 2.0, 4.0) m a
-  detection is a true positive iff its nearest-GT distance is below the
-  threshold AND it is the highest-scoring detection assigned to that GT
-  (duplicates to the same GT become false positives). Note this is the
-  official devkit's one-shot nearest-neighbor rule — NOT greedy bipartite
-  matching: a detection whose nearest GT was claimed by a higher-scoring
-  detection is a false positive even if some other unmatched GT is within
-  the threshold.
+  3D center distance; each GT is then claimed by the single
+  highest-scoring detection assigned to it (the devkit's
+  ``np.unique(idx_gts, return_index=True)``, applied ONCE over all
+  detections, before thresholding — a GT is claimed even when its winner
+  is outside every threshold). At each affinity threshold (0.5, 1.0,
+  2.0, 4.0) m a detection is a true positive iff it is its GT's winner
+  AND within the threshold; all other detections — duplicates to a
+  claimed GT (even closer ones) or whose nearest GT is farther — are
+  false positives. NOT greedy bipartite matching.
 - AP: interpolated precision (monotone non-increasing envelope) sampled
   on a uniform 100-point recall grid over [0, 1], zero beyond the maximum
   achieved recall; averaged over the four thresholds.
@@ -95,12 +96,15 @@ def assign_sweep(
     dist = np.linalg.norm(dt_xyz[:, None] - gt_xyz[None], axis=-1)
     gt_idx = dist.argmin(axis=1)
     near_d = dist[np.arange(n_dt), gt_idx]
+    # Devkit rule: the per-GT dedupe happens ONCE over ALL detections
+    # (``np.unique(idx_gts, return_index=True)``), BEFORE thresholding —
+    # a GT is claimed by its highest-scoring assigned detection even when
+    # that detection is outside every threshold, and the closer, lower-
+    # scoring duplicates are FPs at every threshold.
+    _, winners = np.unique(gt_idx, return_index=True)
     for ti, t in enumerate(thresholds):
-        cand = near_d < t
-        # First (= highest score) detection per GT among candidates wins.
-        _, first = np.unique(gt_idx[cand], return_index=True)
-        winners = np.flatnonzero(cand)[first]
-        tp[winners, ti] = True
+        ok = winners[near_d[winners] < t]
+        tp[ok, ti] = True
     return tp, gt_idx
 
 
@@ -315,15 +319,14 @@ def _join_valid_uuids(
     """Keep only rows whose (log_id, timestamp_ns) appear in the GT set.
 
     Reference: ``valid_uuids = gts.select(UUID_COLUMNS).unique()`` then
-    inner-join on both frames (``nn/arch/detector.py:607-614``).
+    inner-join on both frames (``nn/arch/detector.py:607-614``). The GT
+    side of that join is an identity here (the valid set is derived from
+    the GT itself — the reference's extra metadata join is what could
+    shrink it there), so only predictions are filtered.
     """
     valid = np.unique(_uuid_codes(gts))
     dt_keep = np.isin(_uuid_codes(dts), valid)
-    gt_keep = np.isin(_uuid_codes(gts), valid)
-    return (
-        {k: np.asarray(v)[dt_keep] for k, v in dts.items()},
-        {k: np.asarray(v)[gt_keep] for k, v in gts.items()},
-    )
+    return ({k: np.asarray(v)[dt_keep] for k, v in dts.items()}, gts)
 
 
 def annotate_detection_roi(

@@ -207,10 +207,15 @@ def evaluate_waymo(
             )
 
         for lo, hi in RANGE_BREAKDOWNS:
-            # num_gt per level is cutoff-independent.
+            # Band membership and per-level GT counts are cutoff-invariant:
+            # compute once per (case, band), not per matched pair per cutoff.
             num_gt = {1: 0, 2: 0}
+            g_in = []
+            d_in = []
             for case in cases:
                 gin = _in_band(case.g_range, lo, hi)
+                g_in.append(gin)
+                d_in.append(_in_band(case.d_range, lo, hi))
                 num_gt[2] += int(gin.sum())
                 num_gt[1] += int((gin & ~case.g_l2).sum())
 
@@ -219,21 +224,18 @@ def evaluate_waymo(
                 for c in cutoffs:
                     n_tp = 0
                     n_fp = 0
-                    for case in cases:
+                    for ci, case in enumerate(cases):
                         k, matches = case.matches_at(c)
                         matched_d = np.zeros(k, bool)
                         for i, j in matches:
                             matched_d[i] = True
-                            if not _in_band(
-                                np.asarray([case.g_range[j]]), lo, hi
-                            )[0]:
+                            if not g_in[ci][j]:
                                 continue  # pair belongs to another band
                             if level == 1 and case.g_l2[j]:
                                 continue  # ignored: matched a harder GT
                             n_tp += 1
                         # Unmatched detections bucket by their own range.
-                        din = _in_band(case.d_range[:k], lo, hi)
-                        n_fp += int((~matched_d & din).sum())
+                        n_fp += int((~matched_d & d_in[ci][:k]).sum())
                     n_det = n_tp + n_fp
                     precisions.append(n_tp / n_det if n_det else 1.0)
                     recalls.append(

@@ -87,9 +87,9 @@ def test_av2_protocol_golden():
     dts, gts = _scene(seed=42)
     res = av2_eval.evaluate(dts, gts, ["VEHICLE", "PEDESTRIAN"])
     avg = res["AVERAGE_METRICS"]
-    np.testing.assert_allclose(avg["AP"], 0.5267, atol=2e-3)
-    np.testing.assert_allclose(avg["ATE"], 0.6629, atol=2e-3)
-    np.testing.assert_allclose(avg["CDS"], 0.4413, atol=2e-3)
+    np.testing.assert_allclose(avg["AP"], 0.4279, atol=2e-3)
+    np.testing.assert_allclose(avg["ATE"], 0.6580, atol=2e-3)
+    np.testing.assert_allclose(avg["CDS"], 0.3588, atol=2e-3)
 
 
 def test_waymo_protocol_golden():

@@ -27,7 +27,10 @@ from range_view_3d_detection_tpu.evaluation.iou_np import iou_rotated_bev_np
 
 
 def _av2_oracle_assign(dt_xyz, scores, gt_xyz, threshold):
-    """Per-detection loop version of the nearest-GT rule."""
+    """Per-detection loop version of the devkit rule: each GT is claimed
+    by its highest-scoring assigned detection REGARDLESS of distance
+    (dedupe precedes thresholding); the claim is a TP only when within
+    the threshold."""
     order = sorted(range(len(scores)), key=lambda i: -scores[i])
     claimed = set()
     tp = [False] * len(scores)
@@ -38,9 +41,10 @@ def _av2_oracle_assign(dt_xyz, scores, gt_xyz, threshold):
         dists = [float(np.linalg.norm(dt_xyz[i] - g)) for g in gt_xyz]
         j = int(np.argmin(dists))
         match[i] = j
-        if dists[j] < threshold and j not in claimed:
+        if j not in claimed:
             claimed.add(j)
-            tp[i] = True
+            if dists[j] < threshold:
+                tp[i] = True
     return tp, match
 
 
@@ -340,3 +344,18 @@ def test_waymo_level1_ignores_hard_matches():
     # an FP), so precision stays 1 => AP 1. L2: both TPs => AP 1.
     np.testing.assert_allclose(res["VEHICLE/L1/0-inf/AP_bev"], 1.0, atol=1e-6)
     np.testing.assert_allclose(res["VEHICLE/L2/0-inf/AP_bev"], 1.0, atol=1e-6)
+
+
+def test_av2_dedupe_precedes_thresholding():
+    """Devkit semantics: a GT claimed by a far, high-scoring detection is
+    NOT matched by a closer low-scoring duplicate — both are FP at small
+    thresholds."""
+    gt = np.asarray([[0.0, 0.0, 0.0]])
+    dts = np.asarray([[3.0, 0.0, 0.0], [0.4, 0.0, 0.0]])  # far A, near B
+    scores = np.asarray([0.9, 0.5])
+    order = np.argsort(-scores)
+    tp, _ = av2_eval.assign_sweep(dts[order], gt)
+    # t = 0.5, 1.0, 2.0: A (winner) outside, B blocked => no TPs.
+    assert not tp[:, 0].any() and not tp[:, 1].any() and not tp[:, 2].any()
+    # t = 4.0: A (winner) within => TP; B still FP.
+    np.testing.assert_array_equal(tp[:, 3], [True, False])

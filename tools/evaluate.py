@@ -27,6 +27,7 @@ def main():
 
     from range_view_3d_detection_tpu.evaluation.av2_eval import (
         _join_valid_uuids,
+        annotate_detection_roi,
         dedupe_predictions,
         load_ground_truth,
         load_predictions,
@@ -36,6 +37,10 @@ def main():
     gts = load_ground_truth(Path(args.gt_dir))
     dts = dedupe_predictions(dts)
     dts, gts = _join_valid_uuids(dts, gts)
+    if args.dataset == "av2":
+        # ROI-filter detections too (GT flags come from the converter);
+        # otherwise correct detections of off-ROI objects count as FPs.
+        dts = annotate_detection_roi(dts, Path(args.gt_dir))
     if args.categories:
         categories = args.categories.split(",")
     else:

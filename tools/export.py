@@ -51,16 +51,38 @@ def fold_batch_norms(variables):
     params = flax.core.unfreeze(variables["params"])
     stats = flax.core.unfreeze(variables.get("batch_stats", {}))
 
+    def fold(p, s, scale_k, bias_k, mean_k, var_k):
+        inv = np.asarray(p[scale_k]) / np.sqrt(np.asarray(s[var_k]) + EPS)
+        p[bias_k] = np.asarray(p[bias_k]) - np.asarray(s[mean_k]) * inv
+        p[scale_k] = inv
+        s[mean_k] = np.zeros_like(np.asarray(s[mean_k]))
+        s[var_k] = np.ones_like(np.asarray(s[var_k])) - EPS
+
     def walk(p, s):
         if not isinstance(p, dict) or not isinstance(s, dict):
             return
+        # flax BatchNorm scopes: {scale, bias} params + {mean, var} stats.
         if "scale" in p and "bias" in p and "mean" in s and "var" in s:
-            inv = np.asarray(p["scale"]) / np.sqrt(np.asarray(s["var"]) + EPS)
-            p["bias"] = np.asarray(p["bias"]) - np.asarray(s["mean"]) * inv
-            p["scale"] = inv
-            s["mean"] = np.zeros_like(np.asarray(s["mean"]))
-            s["var"] = np.ones_like(np.asarray(s["var"])) - EPS
+            fold(p, s, "scale", "bias", "mean", "var")
             return
+        # MetaKernel's manual stem BNs are flat leaves in one scope:
+        # <base>_scale/<base>_bias params + <base>_mean/<base>_var stats.
+        for key in list(p):
+            if key.endswith("_scale"):
+                base = key[: -len("_scale")]
+                if (
+                    f"{base}_bias" in p
+                    and f"{base}_mean" in s
+                    and f"{base}_var" in s
+                ):
+                    fold(
+                        p,
+                        s,
+                        f"{base}_scale",
+                        f"{base}_bias",
+                        f"{base}_mean",
+                        f"{base}_var",
+                    )
         for k in p:
             if k in s:
                 walk(p[k], s[k])
