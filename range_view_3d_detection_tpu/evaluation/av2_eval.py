@@ -405,10 +405,13 @@ def evaluate_predictions(
     *,
     max_range_m: float = MAX_RANGE_M,
     eval_only_roi_instances: bool = True,
+    dataset_name: str = "av2",
 ) -> Dict[str, Dict[str, float]]:
     """Shard-file evaluation entry (``on_validation_end`` flow,
     detector.py:407-535): dedupe predictions, restrict both sides to the
-    valid-uuid set, then run the protocol."""
+    valid-uuid set, then run the dataset's protocol — AV2 center-distance
+    metrics, or the WOD evaluator for ``waymo`` (the reference dispatches
+    the same way, detector.py:457-535)."""
     dts = load_predictions(pred_dir)
     gts = load_ground_truth(gt_split_dir)
     if not dts:
@@ -433,6 +436,23 @@ def evaluate_predictions(
         dts["timestamp_ns"] = np.zeros(0, np.int64)
     dts = dedupe_predictions(dts)
     dts, gts = _join_valid_uuids(dts, gts)
+    if dataset_name == "waymo":
+        from range_view_3d_detection_tpu.evaluation.waymo_eval import (
+            evaluate_waymo,
+            mean_ap,
+        )
+
+        results = evaluate_waymo(dts, gts, categories)
+        # Nest per-category so callers can iterate uniformly.
+        out: Dict[str, Dict[str, float]] = {}
+        for key, v in results.items():
+            cat, rest = key.split("/", 1)
+            out.setdefault(cat, {})[rest] = v
+        out["AVERAGE_METRICS"] = {
+            "mAP_L1": mean_ap(results, level=1),
+            "mAP_L2": mean_ap(results, level=2),
+        }
+        return out
     if eval_only_roi_instances:
         dts = annotate_detection_roi(dts, gt_split_dir)
     return evaluate(

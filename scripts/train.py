@@ -71,6 +71,7 @@ def main(argv: list[str]) -> None:
             categories=trainer.categories,
             max_range_m=eval_cfg.max_range_m,
             eval_only_roi_instances=eval_cfg.eval_only_roi_instances,
+            dataset_name=eval_cfg.dataset_name,
         )
         for k, v in metrics.items():
             logger.info("metric %s = %s", k, v)

@@ -359,3 +359,30 @@ def test_av2_dedupe_precedes_thresholding():
     assert not tp[:, 0].any() and not tp[:, 1].any() and not tp[:, 2].any()
     # t = 4.0: A (winner) within => TP; B still FP.
     np.testing.assert_array_equal(tp[:, 3], [True, False])
+
+
+def test_evaluate_predictions_waymo_dispatch(tmp_path):
+    """Shard-file entry dispatches to the WOD protocol for waymo datasets
+    (reference detector.py:457-535 dispatch)."""
+    from range_view_3d_detection_tpu.utils.feather import write_feather
+
+    rng = np.random.default_rng(11)
+    dts, gts = _rand_scene(rng, n_gt=6, n_dt=8, n_sweeps=2, spread=25.0)
+    gt_dir = tmp_path / "val" / "log"
+    write_feather(
+        gt_dir / "annotations.feather",
+        {k: v for k, v in gts.items() if k != "log_id"},
+    )
+    pred_dir = tmp_path / "preds"
+    write_feather(pred_dir / "shard0.feather", dts)
+
+    res = av2_eval.evaluate_predictions(
+        pred_dir,
+        tmp_path / "val",
+        ["VEHICLE"],
+        dataset_name="waymo",
+        eval_only_roi_instances=False,
+        max_range_m=float("inf"),
+    )
+    assert "mAP_L2" in res["AVERAGE_METRICS"]
+    assert "L2/0-inf/AP_3d" in res["VEHICLE"]
