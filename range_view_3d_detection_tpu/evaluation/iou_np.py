@@ -39,12 +39,14 @@ def _half_planes(b: np.ndarray):
 def _clipped_area(corners, normals, offsets):
     p = corners
     q = np.roll(corners, -1, axis=-2)
-    gp = (normals[..., None, :, :] * p[..., :, None, :]).sum(-1) - offsets[
+    g0 = (normals[..., None, :, :] * p[..., :, None, :]).sum(-1) - offsets[
         ..., None, :
-    ] - _TOL
-    gq = (normals[..., None, :, :] * q[..., :, None, :]).sum(-1) - offsets[
+    ]
+    g1 = (normals[..., None, :, :] * q[..., :, None, :]).sum(-1) - offsets[
         ..., None, :
-    ] - _TOL
+    ]
+    gp = g0 - _TOL
+    gq = g1 - _TOL
     denom = gp - gq
     safe = np.where(np.abs(denom) > _EPS, denom, _EPS)
     t_cross = gp / safe
@@ -54,11 +56,16 @@ def _clipped_area(corners, normals, offsets):
     t0 = np.max(np.where(entering, t_cross, 0.0), axis=-1)
     t1 = np.min(np.where(exiting, t_cross, 1.0), axis=-1)
     ok = (~empty.any(-1)) & (t0 < t1)
+    # Shared-boundary (on-plane) edges at half weight: identical boxes
+    # count their boundary once, tangent boxes cancel to zero (see
+    # ops/iou.py::_clipped_edge_area).
+    on_plane = (np.abs(g0) <= 2 * _TOL) & (np.abs(g1) <= 2 * _TOL)
+    weight = np.where(on_plane.any(-1), 0.5, 1.0)
     d = q - p
     s0 = p + t0[..., None] * d
     s1 = p + t1[..., None] * d
     contrib = 0.5 * (s0[..., 0] * s1[..., 1] - s1[..., 0] * s0[..., 1])
-    return np.where(ok, contrib, 0.0).sum(-1)
+    return (np.where(ok, contrib, 0.0) * weight).sum(-1)
 
 
 def intersection_area(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -66,7 +73,7 @@ def intersection_area(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     ca, cb = _corners(a), _corners(b)
     na, ba = _half_planes(a)
     nb, bb = _half_planes(b)
-    area = _clipped_area(ca, nb, bb) + _clipped_area(cb, na, ba - 4e-4)
+    area = _clipped_area(ca, nb, bb) + _clipped_area(cb, na, ba)
     return np.maximum(area, 0.0)
 
 

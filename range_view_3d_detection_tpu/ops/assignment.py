@@ -77,6 +77,11 @@ def compute_classification_targets(
     """
     regressands = jax.lax.stop_gradient(regressands)
 
+    # Parity quirk reproduced deliberately: the reference decodes
+    # predictions with enable_azimuth_invariant_targets=True HARDCODED
+    # while targets use the configured flag (``assignment.py:105-114``) —
+    # with the flag off the two sides are compared in different frames.
+    # The active configs set the flag, where both decodes coincide.
     pred = coding.decode_boxes(regressands, cart, azimuth_invariant=True)
     tgt = coding.decode_boxes(
         regression_targets, cart, azimuth_invariant=azimuth_invariant

@@ -147,12 +147,14 @@ def _clipped_edge_area(corners: Array, normals: Array, offsets: Array) -> Array:
     # boundary (self-IoU, duplicated proposals); it biases boundaries by
     # ~0.1 mm, far below any IoU threshold's sensitivity.
     tol = 1e-4
-    gp = (normals[..., None, :, :] * p[..., :, None, :]).sum(-1) - offsets[
+    g0 = (normals[..., None, :, :] * p[..., :, None, :]).sum(-1) - offsets[
         ..., None, :
-    ] - tol  # (..., 4 edges, 4 planes)
-    gq = (normals[..., None, :, :] * q[..., :, None, :]).sum(-1) - offsets[
+    ]  # (..., 4 edges, 4 planes)
+    g1 = (normals[..., None, :, :] * q[..., :, None, :]).sum(-1) - offsets[
         ..., None, :
-    ] - tol
+    ]
+    gp = g0 - tol
+    gq = g1 - tol
     denom = gp - gq
     t_cross = gp / jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
     entering = (gp > 0) & (gq <= 0)
@@ -162,11 +164,21 @@ def _clipped_edge_area(corners: Array, normals: Array, offsets: Array) -> Array:
     t1 = jnp.min(jnp.where(exiting, t_cross, 1.0), axis=-1)
     ok = (~empty.any(axis=-1)) & (t0 < t1)
 
+    # An edge lying ON one of the clipping rect's boundary planes is
+    # shared between both rects' boundaries: each side contributes it at
+    # half weight, so identical boxes sum to exactly one traversal and
+    # tangent boxes cancel to zero (the two sides traverse the shared
+    # segment in opposite directions). Anything else double-counts
+    # (self-IoU 2x) or leaves an open, meaningless shoelace curve
+    # (tangent boxes scored IoU 0.33).
+    on_plane = (jnp.abs(g0) <= 2 * tol) & (jnp.abs(g1) <= 2 * tol)
+    weight = jnp.where(on_plane.any(axis=-1), 0.5, 1.0)
+
     d = q - p
     s0 = p + t0[..., None] * d
     s1 = p + t1[..., None] * d
     contrib = 0.5 * (s0[..., 0] * s1[..., 1] - s1[..., 0] * s0[..., 1])
-    return jnp.where(ok, contrib, 0.0).sum(axis=-1)  # (...,)
+    return (jnp.where(ok, contrib, 0.0) * weight).sum(axis=-1)  # (...,)
 
 
 def rotated_rect_intersection_area(boxes_a: Array, boxes_b: Array) -> Array:
@@ -185,13 +197,10 @@ def rotated_rect_intersection_area(boxes_a: Array, boxes_b: Array) -> Array:
     na, ba = _rect_half_planes(boxes_a)
     nb, bb = _rect_half_planes(boxes_b)
 
-    # Shrink A's half-planes by epsilon when clipping B's edges so boundary
-    # segments shared by both rects (e.g. identical boxes — common among
-    # NMS proposals) are counted exactly once.
-    shared_eps = 4e-4  # must exceed the clip tolerance in _clipped_edge_area
-    area = _clipped_edge_area(ca, nb, bb) + _clipped_edge_area(
-        cb, na, ba - shared_eps
-    )
+    # Shared-boundary segments (identical boxes, tangent boxes) are
+    # half-weighted inside _clipped_edge_area, so both traversals together
+    # count each such segment exactly once.
+    area = _clipped_edge_area(ca, nb, bb) + _clipped_edge_area(cb, na, ba)
     return jnp.maximum(area, 0.0)
 
 

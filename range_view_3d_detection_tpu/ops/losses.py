@@ -66,7 +66,14 @@ def penalty_reduced_focal_loss(
     logits: Array, targets: Array, *, alpha: float, gamma: float
 ) -> Array:
     """CenterNet-style penalty-reduced focal loss
-    (``nn/functional/__init__.py:30-49``)."""
+    (``nn/functional/__init__.py:30-49``).
+
+    Parity note: like the reference, the background term multiplies the
+    penalty by the *soft-target* BCE (``-t log p - (1-t) log(1-p)``),
+    not canonical CenterNet's pure ``-log(1-p)``; for soft targets near
+    1 the dominant term rewards raising ``p``. The reference ships the
+    same formula (and never uses this loss in its active configs), so
+    the deviation is reproduced rather than silently "fixed"."""
     bce = sigmoid_bce(logits, targets)
     p = jax.nn.sigmoid(logits)
     fg = (targets == 1.0).astype(bce.dtype)

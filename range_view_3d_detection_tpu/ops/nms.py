@@ -225,9 +225,14 @@ def _apply_post_nms_cap(keep: Array, scores: Array, num_post_nms: int) -> Array:
     (post-NMS topk, reference nms.py:53-57/113-117; 0 disables)."""
     if num_post_nms <= 0 or num_post_nms >= keep.shape[0]:
         return keep
+    # Rank-based selection: a pure score threshold would keep MORE than
+    # num_post_nms when scores tie at the cutoff (weighted merging of
+    # duplicated proposals produces exact ties). argsort is stable, so
+    # ties resolve by original index like the reference's topk.
     masked = jnp.where(keep, scores, -jnp.inf)
-    thresh = jax.lax.top_k(masked, num_post_nms)[0][-1]
-    return keep & (masked >= thresh)
+    order = jnp.argsort(-masked)  # jnp.argsort is stable
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    return keep & (rank < num_post_nms)
 
 
 def batched_multiclass_nms(

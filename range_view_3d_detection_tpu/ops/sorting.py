@@ -71,8 +71,11 @@ def sort_with_payload(keys: Array, payload: Array, n_pad: int | None = None):
         b_keys = jnp.take(keys, partner, axis=-1)
         b_payload = jnp.take(payload, partner, axis=-2)
         # out[i] = min(a, b) where take_min else max(a, b); selecting the
-        # original (a) element exactly when (a <= b) == take_min.
-        choose_a = (keys <= b_keys) == take_min
+        # original (a) element when (a < b) == take_min. Ties MUST keep
+        # each side's own element: with `<=` both partners of an equal
+        # pair selected the same element, duplicating one payload and
+        # dropping the other.
+        choose_a = (keys == b_keys) | ((keys < b_keys) == take_min)
         keys = jnp.where(choose_a, keys, b_keys)
         payload = jnp.where(choose_a[..., None], payload, b_payload)
     return keys, payload

@@ -56,12 +56,19 @@ def build_detector_config(cfg: Dict[str, Any]) -> DetectorConfig:
             for k, v in (tc.get("range_partitions") or {}).items()
         )
     )
+    pi = tuple(
+        sorted(
+            (int(k), (_as_float(v[0]), _as_float(v[1])))
+            for k, v in (tc.get("point_intervals") or {}).items()
+        )
+    )
     targets = TargetsConfig(
         enable_azimuth_invariant_targets=bool(
             tc.get("enable_azimuth_invariant_targets", True)
         ),
         fpn_assignment_method=tc.get("fpn_assignment_method"),
         range_partitions=rp,
+        point_intervals=pi,
         affinity_fn=str(tc.get("affinity_fn", "GAUSSIAN")),
         sigma=float(tc.get("sigma", 0.75)),
         normalize_affinities=bool(tc.get("normalize_affinities", False)),

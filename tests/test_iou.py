@@ -130,3 +130,25 @@ def test_numpy_iou_matches_jax():
     np.testing.assert_allclose(
         np.diag(iou_rotated_bev_np(a, a)), 1.0, atol=1e-3
     )
+
+
+def test_degenerate_shared_boundaries():
+    """Tangent boxes ~0, identical boxes 1, shared-edge-line overlap exact
+    (the asymmetric-epsilon formulation scored tangent boxes IoU 0.33)."""
+    import jax.numpy as jnp
+
+    from range_view_3d_detection_tpu.evaluation.iou_np import (
+        iou_rotated_bev_np,
+    )
+    from range_view_3d_detection_tpu.ops.iou import iou_rotated_bev
+
+    a = np.array([[1, 0.5, 2, 1, 0]], np.float32)
+    tangent = np.array([[1, 1.5, 2, 1, 0]], np.float32)
+    shifted = np.array([[2, 0.5, 2, 1, 0]], np.float32)
+    for fn in (
+        lambda x, y: np.asarray(iou_rotated_bev(jnp.asarray(x), jnp.asarray(y))),
+        iou_rotated_bev_np,
+    ):
+        assert fn(a, tangent)[0, 0] < 1e-3
+        np.testing.assert_allclose(fn(a, a)[0, 0], 1.0, atol=1e-4)
+        np.testing.assert_allclose(fn(a, shifted)[0, 0], 1 / 3, atol=1e-3)
