@@ -10,8 +10,12 @@ generate_dataset("/tmp/rangebox-synthetic/sensor",
                  height=32, width=248, seed=0)
 PY
 
+# val split = train split (the reference's debug-overfit semantics:
+# convergence-to-zero-loss on the SAME data is the correctness oracle).
 python "$(dirname "$0")/train.py" \
   experiment=rv-synthetic \
   ++model.debug=true \
   ++model.batch_size=2 \
+  ++model.augmentations_config=null \
+  ++dataset._val_dataset.split_name=train \
   ++trainer.max_epochs="${1:-20}"
