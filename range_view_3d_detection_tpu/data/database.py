@@ -163,6 +163,7 @@ class DatabaseSampler:
         rng: np.random.Generator,
         *,
         feature_columns: Sequence[str],
+        feature_transform=None,
     ) -> Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]:
         """Paste sampled crops into the sweep image dict.
 
@@ -216,19 +217,46 @@ class DatabaseSampler:
         # via unique-first — loader.py:745-748).
         all_idx = np.concatenate([c["index"] for c in crops])
         all_rng = np.concatenate([c["range"] for c in crops])
+        all_crop = np.concatenate(
+            [np.full(len(c["index"]), i) for i, c in enumerate(crops)]
+        )
         order = np.lexsort((all_rng, all_idx))
         first = np.ones(len(order), bool)
         sorted_idx = all_idx[order]
         first[1:] = sorted_idx[1:] != sorted_idx[:-1]
         sel = order[first]
 
+        # Drop crops whose every pixel lost the dedupe: their boxes would
+        # have zero supporting points (reference keeps only valid_nr —
+        # loader.py:745-751) and the model would train on invisible
+        # objects.
+        survived = np.zeros(len(crops), bool)
+        survived[np.unique(all_crop[sel])] = True
+        if not survived.all():
+            picks = picks[survived]
+            if len(picks) == 0:
+                return sweep, boxes, box_cats
+
         rows, cols = np.unravel_index(all_idx[sel], (H, W))
+        missing = [c for c in feature_columns if c not in crops[0]]
+        if missing:
+            raise ValueError(
+                f"GT-paste crops lack feature column(s) {missing}; derived "
+                "channels (e.g. 'view') are not supported with "
+                "enable_database — rebuild the database with those columns "
+                "or drop them from feature_column_names"
+            )
+        feat_cols = {
+            col: np.concatenate([c[col] for c in crops])[sel]
+            for col in feature_columns
+        }
+        if feature_transform is not None:
+            # Per-dataset normalization (Waymo tanh intensity, timedelta
+            # scaling) that load_sweep applied to the scene pixels; raw
+            # crop values must match.
+            feat_cols = feature_transform(feat_cols)
         feat_stack = np.stack(
-            [
-                np.concatenate([c[col] for c in crops])[sel]
-                for col in feature_columns
-            ],
-            axis=-1,
+            [feat_cols[col] for col in feature_columns], axis=-1
         )
         cart_stack = np.stack(
             [np.concatenate([c[col] for c in crops])[sel] for col in ("x", "y", "z")],

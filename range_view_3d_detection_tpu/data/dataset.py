@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -108,6 +109,10 @@ class RangeViewDataset:
         self._category_map = self._build_category_map()
         self._ann_cache: "OrderedDict[str, dict]" = OrderedDict()
         self._ann_cache_size = 64
+        # DataLoader worker threads hit the cache concurrently; guard the
+        # read-move/insert-evict sequences (concurrent eviction otherwise
+        # double-pops the same oldest key -> KeyError mid-epoch).
+        self._ann_cache_lock = threading.Lock()
         self.index = self._build_index()
         self._filter_train_index()
         self.epoch = 0  # set by the loader; varies augmentation draws
@@ -231,19 +236,23 @@ class RangeViewDataset:
         With it, index build is one read per log and the train-time
         random access pattern stays bounded by the cache size.
         """
-        cached = self._ann_cache.get(log_id)
-        if cached is None:
-            ann = read_feather(self.annotations_path(log_id))
-            ann["timestamp_ns"] = ann["timestamp_ns"].astype(np.int64)
-            ann["_keep"] = (ann["num_interior_pts"] > 0) & np.isin(
-                ann["category"], list(self._category_map)
-            )
+        with self._ann_cache_lock:
+            cached = self._ann_cache.get(log_id)
+            if cached is not None:
+                self._ann_cache.move_to_end(log_id)
+                return cached
+        # Read outside the lock (IO dominates); worst case two threads
+        # read the same log once and the second insert wins.
+        ann = read_feather(self.annotations_path(log_id))
+        ann["timestamp_ns"] = ann["timestamp_ns"].astype(np.int64)
+        ann["_keep"] = (ann["num_interior_pts"] > 0) & np.isin(
+            ann["category"], list(self._category_map)
+        )
+        with self._ann_cache_lock:
             self._ann_cache[log_id] = ann
-            if len(self._ann_cache) > self._ann_cache_size:
-                self._ann_cache.pop(next(iter(self._ann_cache)))
-            return ann
-        self._ann_cache.move_to_end(log_id)
-        return cached
+            while len(self._ann_cache) > self._ann_cache_size:
+                self._ann_cache.popitem(last=False)
+        return ann
 
     def _load_annotations(self, log_id: str, timestamp_ns: int):
         ann = self._log_annotations(log_id)
@@ -371,6 +380,16 @@ class RangeViewDataset:
             )
 
         if self._db is not None and self.cfg.db_config:
+
+            def _normalize_crop(cols: Dict[str, np.ndarray]):
+                # Match load_sweep's per-dataset feature normalization.
+                out = dict(cols)
+                if self.cfg.dataset_name == "waymo" and "intensity" in out:
+                    out["intensity"] = np.tanh(out["intensity"])
+                if "timedelta_ns" in out:
+                    out["timedelta_ns"] = out["timedelta_ns"] * 1e-9
+                return out
+
             sweep, boxes, box_cats = self._db.sample(
                 sweep,
                 boxes,
@@ -378,6 +397,7 @@ class RangeViewDataset:
                 self.cfg.db_config,
                 rng,
                 feature_columns=self.cfg.range_view.feature_column_names,
+                feature_transform=_normalize_crop,
             )
 
         box_task, box_offset, order = self._tasks_offsets(box_cats)
@@ -494,7 +514,17 @@ class DataLoader:
         self.epoch += 1
         if self.process_count > 1:
             # Deterministic per-host shard of the (identically shuffled)
-            # global index — the DDP DistributedSampler analog.
+            # global index — the DDP DistributedSampler analog. Every host
+            # MUST end up with the same number of batches (each batch is a
+            # global collective): pad by wrapping to a multiple of
+            # process_count, exactly like DistributedSampler. The few
+            # duplicated sweeps are harmless for training and deduped at
+            # evaluation (``dedupe_predictions``).
+            rem = len(order) % self.process_count
+            if rem:
+                order = np.concatenate(
+                    [order, order[: self.process_count - rem]]
+                )
             order = order[self.process_index :: self.process_count]
         batches = []
         for start in range(0, len(order), self.batch_size):

@@ -167,6 +167,12 @@ def evaluate(
 
     dt_uuid = _uuid_codes(dts)
     gt_uuid = _uuid_codes(gts)
+    # Encode sweep uuids to integers ONCE: per-sweep grouping below is
+    # argsort + split on codes, not an O(n_sweeps * N) string-equality
+    # scan (hours at real val scale).
+    uuid_universe = np.unique(np.concatenate([dt_uuid, gt_uuid]))
+    dt_code = np.searchsorted(uuid_universe, dt_uuid)
+    gt_code = np.searchsorted(uuid_universe, gt_uuid)
 
     results: Dict[str, Dict[str, float]] = {}
     for cat in categories:
@@ -179,12 +185,11 @@ def evaluate(
         ate_l, ase_l, aoe_l = [], [], []
         tp_col = AFFINITY_THRESHOLDS_M.index(TP_THRESHOLD_M)
 
-        sweep_ids = np.unique(np.concatenate([dt_uuid[dm], gt_uuid[gm]])) if (
-            dm.any() or gm.any()
-        ) else []
-        for sid in sweep_ids:
-            dsel = np.flatnonzero(dm & (dt_uuid == sid))
-            gsel = np.flatnonzero(gm & (gt_uuid == sid))
+        d_groups = _group_by_code(np.flatnonzero(dm), dt_code)
+        g_groups = _group_by_code(np.flatnonzero(gm), gt_code)
+        for sid in sorted(set(d_groups) | set(g_groups)):
+            dsel = d_groups.get(sid, np.zeros(0, np.int64))
+            gsel = g_groups.get(sid, np.zeros(0, np.int64))
             scores = dts["score"][dsel]
             # Official rule requires score-descending order within a sweep.
             order = np.argsort(-scores, kind="stable")
@@ -280,6 +285,24 @@ def evaluate(
     }
     results["AVERAGE_METRICS"] = avg
     return results
+
+
+def _group_by_code(
+    idx: np.ndarray, codes: np.ndarray
+) -> Dict[int, np.ndarray]:
+    """{code: row indices} for the selected rows, via argsort + split."""
+    if len(idx) == 0:
+        return {}
+    sub = codes[idx]
+    order = np.argsort(sub, kind="stable")
+    sorted_idx = idx[order]
+    sorted_codes = sub[order]
+    cuts = np.flatnonzero(np.diff(sorted_codes)) + 1
+    groups = np.split(sorted_idx, cuts)
+    keys = sorted_codes[np.concatenate([[0], cuts])] if len(cuts) else [
+        sorted_codes[0]
+    ]
+    return {int(k): g for k, g in zip(keys, groups)}
 
 
 def _uuid_codes(frame: Dict[str, np.ndarray]) -> np.ndarray:

@@ -164,8 +164,9 @@ def evaluate_waymo(
         gt_level2 |= gts["num_interior_pts"] <= LEVEL2_MAX_POINTS
 
     def uuid(frame):
+        # Separator prevents ('log1', 23...) colliding with ('log12', 3...).
         return np.char.add(
-            np.asarray(frame["log_id"], str),
+            np.char.add(np.asarray(frame["log_id"], str), "_"),
             np.asarray(frame["timestamp_ns"], str),
         )
 
@@ -173,17 +174,28 @@ def evaluate_waymo(
     cutoffs = np.linspace(0.0, 1.0, NUM_SCORE_CUTOFFS)
     out: Dict[str, float] = {}
 
+    # Integer sweep codes once; per-sweep grouping is argsort+split, not
+    # an O(n_sweeps * N) string scan per category.
+    from range_view_3d_detection_tpu.evaluation.av2_eval import _group_by_code
+
+    uuid_universe = np.unique(np.concatenate([dt_uuid, gt_uuid]))
+    dt_code = np.searchsorted(uuid_universe, dt_uuid)
+    gt_code = np.searchsorted(uuid_universe, gt_uuid)
+
     for cat in categories:
         thr = IOU_THRESHOLDS.get(cat, 0.5)
         # Build per-sweep cases once per category; matching is global per
         # sweep, bucketing into range bands happens per matched pair.
         cases: List[_SweepCase] = []
-        sweep_ids = np.unique(np.concatenate([dt_uuid, gt_uuid]))
-        for sid in sweep_ids:
-            dsel = np.flatnonzero((dts["category"] == cat) & (dt_uuid == sid))
-            gsel = np.flatnonzero((gts["category"] == cat) & (gt_uuid == sid))
-            if len(dsel) == 0 and len(gsel) == 0:
-                continue
+        d_groups = _group_by_code(
+            np.flatnonzero(dts["category"] == cat), dt_code
+        )
+        g_groups = _group_by_code(
+            np.flatnonzero(gts["category"] == cat), gt_code
+        )
+        for sid in sorted(set(d_groups) | set(g_groups)):
+            dsel = d_groups.get(sid, np.zeros(0, np.int64))
+            gsel = g_groups.get(sid, np.zeros(0, np.int64))
             scores = dts["score"][dsel]
             order = np.argsort(-scores, kind="stable")
             dsel = dsel[order]

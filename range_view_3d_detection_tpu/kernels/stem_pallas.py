@@ -129,6 +129,11 @@ def meta_kernel_fused(
     Returns:
         (B, H, W, C) f32 ``geo`` (pre-fusion1_bn).
     """
+    if num_neighbors != 3:
+        raise NotImplementedError(
+            "the fused stem kernel hardcodes the 3x3 neighborhood "
+            "(edge masking + column shifts); use the accumulate path"
+        )
     B, H, W, C = g.shape
     n = num_neighbors
     cdt = g.dtype

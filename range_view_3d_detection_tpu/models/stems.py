@@ -216,7 +216,7 @@ class MetaKernel(nn.Module):
             geo = jnp.einsum(
                 "bnhwc,nco->bhwo", pos * neighbors, kernel
             )
-        elif self.use_pallas_kernel and self.num_layers == 2:
+        elif self.use_pallas_kernel and self.num_layers == 2 and n == 3:
             # Fused single-pass Pallas kernel (kernels/stem_pallas.py):
             # reads g/feats once, all 9 neighbor matmuls VMEM-resident.
             from range_view_3d_detection_tpu.kernels.stem_pallas import (

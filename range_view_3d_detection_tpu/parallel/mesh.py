@@ -30,13 +30,30 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if num_data is None:
         num_data = len(devices) // num_model
-    if len(devices) < num_data * num_model:
+    needed = num_data * num_model
+    if len(devices) < needed:
         # Dry-run path: fall back to the virtual CPU device pool
-        # (xla_force_host_platform_device_count).
-        devices = list(jax.devices("cpu"))
-    arr = np.asarray(devices[: num_data * num_model]).reshape(
-        num_data, num_model
-    )
+        # (xla_force_host_platform_device_count) — but only when it can
+        # actually satisfy the mesh, and say so; silently training on 1
+        # CPU device would hide a misconfiguration.
+        cpu_pool = list(jax.devices("cpu"))
+        if len(cpu_pool) < needed:
+            raise ValueError(
+                f"mesh ({num_data} data x {num_model} model) needs "
+                f"{needed} devices; have {len(devices)} "
+                f"({len(cpu_pool)} virtual CPU)"
+            )
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mesh %dx%d exceeds the %d available accelerator(s); using "
+            "the virtual CPU pool (dry-run mode)",
+            num_data,
+            num_model,
+            len(devices),
+        )
+        devices = cpu_pool
+    arr = np.asarray(devices[:needed]).reshape(num_data, num_model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

@@ -70,6 +70,12 @@ def crop_halo(x: Array, halo: int, stride: int, *, w_axis: int = 2) -> Array:
     """Remove a halo that the network has downscaled by ``stride``."""
     if halo == 0:
         return x
+    if halo % stride:
+        raise ValueError(
+            f"halo ({halo}) must be divisible by every head stride "
+            f"(got {stride}): a fractional crop would leave halo columns "
+            "in the assembled output"
+        )
     h = halo // stride
     return jax.lax.slice_in_dim(x, h, x.shape[w_axis] - h, axis=w_axis)
 

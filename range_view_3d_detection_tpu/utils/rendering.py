@@ -79,9 +79,13 @@ def draw_bev(
 
 
 def _best_iou3d(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    from range_view_3d_detection_tpu.evaluation.iou_np import iou_rotated_bev_np
+    """Best 3D IoU per prediction (the reference colors by mmcv
+    ``boxes_iou3d`` — tensorboard.py:314-318 — not BEV-only)."""
+    from range_view_3d_detection_tpu.evaluation.waymo_eval import _iou3d
 
-    iou = iou_rotated_bev_np(pred[:, [0, 1, 3, 4, 6]], gt[:, [0, 1, 3, 4, 6]])
+    iou = _iou3d(pred, gt) if len(pred) and len(gt) else np.zeros(
+        (len(pred), len(gt))
+    )
     return iou.max(axis=1) if iou.size else np.zeros(len(pred))
 
 

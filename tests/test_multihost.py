@@ -76,3 +76,41 @@ def test_two_process_data_parallel(tmp_path):
     s0, s1 = set(results[0]["seen"]), set(results[1]["seen"])
     assert s0.isdisjoint(s1)
     assert s0 | s1 == set(range(8))
+
+
+def test_uneven_shard_padding_equalizes_batch_counts():
+    """Hosts must produce IDENTICAL batch counts (each batch is a global
+    collective): with len(dataset) % process_count != 0 the shard pads by
+    wrapping, like DistributedSampler — otherwise one host enters a
+    collective the other never reaches and the job deadlocks."""
+    import numpy as np
+
+    from range_view_3d_detection_tpu.data.dataset import DataLoader
+
+    class _DS:
+        def __init__(self, n):
+            self.index = list(range(n))
+            self.epoch = 0
+
+        def __len__(self):
+            return len(self.index)
+
+    for n, nproc, bs in ((31, 2, 16), (33, 2, 16), (10, 3, 2)):
+        counts = []
+        all_seen = set()
+        for pid in range(nproc):
+            loader = DataLoader(
+                _DS(n),
+                batch_size=bs,
+                shuffle=False,
+                drop_last=False,
+                num_workers=0,
+                process_index=pid,
+                process_count=nproc,
+            )
+            batches = loader._batch_indices()
+            counts.append(len(batches))
+            for b in batches:
+                all_seen.update(int(i) for i in b)
+        assert len(set(counts)) == 1, (n, nproc, bs, counts)
+        assert all_seen == set(range(n))  # wrap-padding loses nothing
