@@ -46,7 +46,7 @@ def polar_to_cartesian(
     Args:
         range_img: (H, W) range in meters (<=0 marks empty pixels).
         inclinations: (H,) beam inclinations, row-aligned (top first).
-        extrinsic: (4, 4) sensor-from-vehicle mount transform
+        extrinsic: (4, 4) vehicle-from-sensor mount transform
             (vehicle = extrinsic @ sensor point).
         pixel_pose: optional (H, W, 4, 4) vehicle->global pose at each
             pixel's capture time (rolling shutter).

@@ -139,7 +139,9 @@ class _SweepCase:
 
 
 def _in_band(rng: np.ndarray, lo: float, hi: float) -> np.ndarray:
-    return (rng > lo) & (rng <= hi) if lo else rng <= hi
+    # Official WOD range breakdowns are [lo, hi): an object at exactly
+    # 30.0 m belongs to the 30-50 bucket, not 0-30.
+    return (rng >= lo) & (rng < hi) if lo else rng < hi
 
 
 def evaluate_waymo(

@@ -108,11 +108,21 @@ class ConvNormAct(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         use_bias = (not self.norm) if self.use_bias is None else self.use_bias
+        # Torch-style same padding (``nn/modules/conv.py::Conv2dSame``):
+        # a FIXED k-1 total pad per dim (lo=(k-1)//2) independent of
+        # stride. XLA's "SAME" string instead pads max(k-s, 0) on strided
+        # convs ((0,1) for k=3,s=2), which samples windows shifted by one
+        # column — numerically different from the reference at every
+        # strided stage. Same output sizes either way for stride | width.
+        pad = tuple(
+            ((k - 1) // 2, (k - 1) - (k - 1) // 2)
+            for k in _pair(self.kernel_size)
+        )
         y = nn.Conv(
             self.features,
             kernel_size=_pair(self.kernel_size),
             strides=_pair(self.strides),
-            padding="SAME",
+            padding=pad,
             use_bias=use_bias,
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,

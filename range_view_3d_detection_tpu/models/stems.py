@@ -216,7 +216,15 @@ class MetaKernel(nn.Module):
             geo = jnp.einsum(
                 "bnhwc,nco->bhwo", pos * neighbors, kernel
             )
-        elif self.use_pallas_kernel and self.num_layers == 2 and n == 3:
+        elif (
+            self.use_pallas_kernel
+            and self.num_layers == 2
+            and n == 3
+            and jax.default_backend() in ("tpu", "cpu")
+        ):
+            # Gate on backend: the kernel lowers on TPU and runs in
+            # interpret mode on CPU; any other backend (e.g. GPU) falls
+            # through to the accumulate path below.
             # Fused single-pass Pallas kernel (kernels/stem_pallas.py):
             # reads g/feats once, all 9 neighbor matmuls VMEM-resident.
             from range_view_3d_detection_tpu.kernels.stem_pallas import (
@@ -287,6 +295,8 @@ class RangePartition(nn.Module):
 
         banded = bands[..., :, None] * features[..., None, :]  # (B, H, W, 6, C)
         B, H, W = features.shape[:3]
+        if mask.ndim == 3:  # (B, H, W) validity -> broadcast over channels
+            mask = mask[..., None]
         banded = banded.reshape(B, H, W, -1) * mask
         return BasicBlock(
             self.out_channels,

@@ -8,7 +8,9 @@ inserting the gradient/BN all-reduces over ICI.
 
 from range_view_3d_detection_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    fetch_local,
     make_mesh,
+    process_sum_scalars,
     replicated_sharding,
     shard_batch,
 )

@@ -85,6 +85,40 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     )
 
 
+def fetch_local(x) -> np.ndarray:
+    """Host copy of the process-local rows of a batch-sharded global array
+    (the inverse of ``shard_batch``). Fully-replicated arrays and the
+    single-host case return the full array.
+
+    Multi-host ``np.asarray`` on a data-sharded global array would fail
+    (non-addressable shards); each host instead assembles its own rows so
+    downstream per-sweep shard writes stay single-writer.
+    """
+    if jax.process_count() == 1 or not hasattr(x, "addressable_shards"):
+        return np.asarray(x)
+    if x.is_fully_replicated:
+        return np.asarray(x)
+    rows = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        rows[start] = np.asarray(s.data)
+    return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+
+
+def process_sum_scalars(values: Dict[str, float]) -> Dict[str, float]:
+    """Sum a dict of host scalars across processes (the ``sync_dist=True``
+    analog — reference detector.py:385-389). Identity on a single host."""
+    if jax.process_count() == 1:
+        return {k: float(v) for k, v in values.items()}
+    from jax.experimental import multihost_utils
+
+    keys = sorted(values)
+    arr = np.asarray([float(values[k]) for k in keys], np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(arr))
+    total = gathered.reshape(jax.process_count(), len(keys)).sum(axis=0)
+    return {k: float(t) for k, t in zip(keys, total)}
+
+
 def initialize_distributed() -> None:
     """Multi-host bring-up (SLURM/jobset analog of the reference's
     ``dist.init_process_group`` path). No-op on a single host."""

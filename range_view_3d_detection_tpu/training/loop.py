@@ -25,7 +25,12 @@ from range_view_3d_detection_tpu.data.dataset import (
 from range_view_3d_detection_tpu.models.decoder import DecoderConfig
 from range_view_3d_detection_tpu.models.detector import DetectorConfig
 from range_view_3d_detection_tpu.ops.geometry import yaw_to_quat
-from range_view_3d_detection_tpu.parallel import make_mesh, shard_batch
+from range_view_3d_detection_tpu.parallel import (
+    fetch_local,
+    make_mesh,
+    process_sum_scalars,
+    shard_batch,
+)
 from range_view_3d_detection_tpu.training import optim
 from range_view_3d_detection_tpu.training.builders import (
     build_dataset_config,
@@ -54,12 +59,14 @@ def flatten_detections(result, uuids, categories) -> Dict[str, np.ndarray]:
     """NMSResult (B, cap, ...) -> flat prediction columns with uuid joins.
 
     Mirrors ``build_dataframe`` (coding.py:31-76): cuboid params + quat +
-    score + category name + log_id/timestamp.
+    score + category name + log_id/timestamp. Multi-host: each process
+    extracts only its own (addressable) rows of the global batch, which
+    line up with its local ``uuids`` — single-writer per sweep shard.
     """
-    keep = np.asarray(result.keep)
-    cuboids = np.asarray(result.cuboids)
-    scores = np.asarray(result.scores)
-    cats = np.asarray(result.categories)
+    keep = fetch_local(result.keep)
+    cuboids = fetch_local(result.cuboids)
+    scores = fetch_local(result.scores)
+    cats = fetch_local(result.categories)
 
     cols: Dict[str, list] = {
         k: []
@@ -112,13 +119,21 @@ class Trainer:
         self.det_cfg: DetectorConfig = build_detector_config(cfg)
         self.dec_cfg: DecoderConfig = build_decoder_config(cfg)
 
+        # Rank gating (reference gates artifacts/eval on global rank 0 —
+        # detector.py:426): only the main process opens log files and
+        # writes run artifacts; collectives still run on every process.
+        self.is_main = jax.process_index() == 0
+
         run_dir = Path(cfg.get("run_dir", "/tmp/rangebox-tpu"))
-        run_dir.mkdir(parents=True, exist_ok=True)
+        if self.is_main:
+            run_dir.mkdir(parents=True, exist_ok=True)
         self.run_dir = run_dir
         self.logger = MetricsLogger(
-            run_dir, backend=cfg.get("trainer", {}).get("logger", {}).get(
+            run_dir,
+            backend=cfg.get("trainer", {}).get("logger", {}).get(
                 "backend", "jsonl"
-            )
+            ),
+            enabled=self.is_main,
         )
 
         self.batch_size = int(cfg["model"]["batch_size"])
@@ -189,7 +204,8 @@ class Trainer:
 
         from range_view_3d_detection_tpu.utils.config import flatten
 
-        (run_dir / "config.json").write_text(json.dumps(cfg, default=str))
+        if self.is_main:
+            (run_dir / "config.json").write_text(json.dumps(cfg, default=str))
         self.logger.log(
             {k: v for k, v in flatten(cfg).items() if _is_number(v)}, 0
         )
@@ -247,9 +263,13 @@ class Trainer:
         try:
             from range_view_3d_detection_tpu.utils.rendering import draw_bev
 
+            # eval_step is a collective program — every process must run
+            # it; only the main process renders/writes the PNG.
             result = self.eval_step(self.state, device_batch)
-            keep = np.asarray(result.keep)[0]
-            preds = np.asarray(result.cuboids)[0][keep]
+            if not self.is_main:
+                return
+            keep = fetch_local(result.keep)[0]
+            preds = fetch_local(result.cuboids)[0][keep]
             n = int(np.asarray(batch["box_valid"][0]).sum())
             gts = np.asarray(batch["boxes"][0][:n])
             cart = np.asarray(batch["cart"][0]).reshape(-1, 3)
@@ -306,8 +326,16 @@ class Trainer:
                 shard["log_id"] = shard["log_id"].astype(str)
                 write_feather(dst / f"{log_id}_{ts}.feather", shard)
         if num_val_batches:
+            # sync_dist=True parity (detector.py:385-389): each batch's
+            # metrics are already global means over the SPMD batch, but
+            # reduce sums + counts across processes anyway so the logged
+            # value is the exact global mean even with per-host drift.
+            totals = process_sum_scalars(
+                {**val_metric_sums, "_num_batches": float(num_val_batches)}
+            )
+            nb = totals.pop("_num_batches")
             self.logger.log(
-                {k: v / num_val_batches for k, v in val_metric_sums.items()},
+                {k: v / nb for k, v in totals.items()},
                 int(self.state.step),
             )
         return dst

@@ -14,11 +14,23 @@ from typing import Any, Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, save_dir: str | Path, *, backend: str = "jsonl"):
+    def __init__(
+        self,
+        save_dir: str | Path,
+        *,
+        backend: str = "jsonl",
+        enabled: bool = True,
+    ):
+        # enabled=False (non-zero ranks in multi-host) opens no files and
+        # drops every record — the reference's rank_zero_only gating.
+        self.enabled = enabled
         self.save_dir = Path(save_dir)
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.save_dir / "metrics.jsonl", "a")
-        self._tb = None
         if backend == "tensorboard":
             try:
                 from torch.utils.tensorboard import SummaryWriter  # type: ignore
@@ -28,6 +40,8 @@ class MetricsLogger:
                 self._tb = None
 
     def log(self, metrics: Dict[str, Any], step: int) -> None:
+        if not self.enabled:
+            return
         scalars = {
             k: float(v)
             for k, v in metrics.items()
@@ -41,7 +55,8 @@ class MetricsLogger:
                 self._tb.add_scalar(k, v, step)
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
 

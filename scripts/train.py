@@ -53,6 +53,14 @@ def main(argv: list[str]) -> None:
     pred_dir = trainer.validate()
     logger.info("predictions written to %s", pred_dir)
 
+    # Host-side evaluation + artifact writes run on global rank 0 only
+    # (reference: rank_zero gating in detector.py:426). validate() above
+    # is collective and already ran on every process.
+    import jax
+
+    if jax.process_index() != 0:
+        return
+
     try:
         from range_view_3d_detection_tpu.evaluation import (
             detection_cfg_factory,

@@ -36,7 +36,9 @@ def main():
     import numpy as np
 
     from range_view_3d_detection_tpu.parallel.mesh import (
+        fetch_local,
         make_mesh,
+        process_sum_scalars,
         shard_batch,
     )
 
@@ -56,6 +58,15 @@ def main():
         return b["x"].sum()
 
     total = float(global_sum(batch))
+
+    # fetch_local inverts shard_batch: each process recovers exactly its
+    # own rows of the global array (the prediction-shard write path).
+    roundtrip = fetch_local(batch["x"])
+    assert np.array_equal(roundtrip, local), (pid, roundtrip, local)
+
+    # process_sum_scalars: cross-process scalar reduction (sync_dist
+    # analog) — both hosts must observe the identical global sum.
+    reduced = process_sum_scalars({"loss": float(local.sum()), "n": 1.0})
 
     # Per-process index sharding: disjoint, covering.
     from range_view_3d_detection_tpu.data.dataset import DataLoader
@@ -84,7 +95,14 @@ def main():
     )
 
     Path(out_path).write_text(
-        json.dumps({"pid": pid, "total": total, "seen": sorted(seen)})
+        json.dumps(
+            {
+                "pid": pid,
+                "total": total,
+                "seen": sorted(seen),
+                "reduced": reduced,
+            }
+        )
     )
 
 

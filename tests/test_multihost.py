@@ -77,6 +77,13 @@ def test_two_process_data_parallel(tmp_path):
     assert s0.isdisjoint(s1)
     assert s0 | s1 == set(range(8))
 
+    # Cross-process scalar reduction (sync_dist analog): both hosts see
+    # the identical global sum of their per-host val-loss scalars.
+    want_loss = float(local0.sum() + local1.sum())
+    assert results[0]["reduced"] == results[1]["reduced"]
+    assert results[0]["reduced"]["loss"] == want_loss
+    assert results[0]["reduced"]["n"] == 2.0
+
 
 def test_uneven_shard_padding_equalizes_batch_counts():
     """Hosts must produce IDENTICAL batch counts (each batch is a global

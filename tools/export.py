@@ -281,7 +281,8 @@ def _restore_from_run_dir(run_dir: Path):
     H, W = int(rv["height"]), int(rv["width"])
     from range_view_3d_detection_tpu.data.dataset import width_padding
 
-    Wp = W + 2 * width_padding(W, int(cfg["model"].get("x_stride", 1)))
+    x_stride = int(cfg["dataset"]["_val_dataset"].get("x_stride", 1))
+    Wp = (W + 2 * width_padding(W, x_stride)) // x_stride
     C = det_cfg.in_channels
     K = det_cfg.max_boxes
     dummy = {
