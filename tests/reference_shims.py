@@ -77,8 +77,12 @@ def _install_torchvision() -> None:
             self.out_channels = out_channels
 
     def sigmoid_focal_loss(
-        inputs, targets, alpha: float = 0.25, gamma: float = 2, reduction="none"
-    ):
+        inputs: torch.Tensor,
+        targets: torch.Tensor,
+        alpha: float = 0.25,
+        gamma: float = 2.0,
+        reduction: str = "none",
+    ) -> torch.Tensor:
         p = torch.sigmoid(inputs)
         ce_loss = F.binary_cross_entropy_with_logits(
             inputs, targets, reduction="none"
@@ -108,10 +112,16 @@ def _install_hydra_omegaconf() -> None:
         hydra = types.ModuleType("hydra")
         utils = types.ModuleType("hydra.utils")
 
-        def instantiate(cfg, *args, **kwargs):  # tests construct directly
-            raise NotImplementedError(
-                "hydra shim: construct reference modules directly"
-            )
+        def instantiate(cfg, *args, **kwargs):
+            """Resolve ``_target_`` dotted path and construct (the subset of
+            hydra.utils.instantiate the reference model code uses)."""
+            import importlib
+
+            cfg = dict(cfg)
+            target = cfg.pop("_target_")
+            mod, _, name = target.rpartition(".")
+            cls = getattr(importlib.import_module(mod), name)
+            return cls(*args, **{**cfg, **kwargs})
 
         utils.instantiate = instantiate
         hydra.utils = utils

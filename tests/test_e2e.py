@@ -11,6 +11,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from range_view_3d_detection_tpu.data.synthetic import generate_dataset
 from range_view_3d_detection_tpu.training.loop import Trainer
 from range_view_3d_detection_tpu.utils.config import compose

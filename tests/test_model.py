@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from range_view_3d_detection_tpu.models.decoder import DecoderConfig
 from range_view_3d_detection_tpu.models.detector import (
     DetectorConfig,

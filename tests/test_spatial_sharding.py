@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from range_view_3d_detection_tpu.parallel.mesh import make_mesh
 from range_view_3d_detection_tpu.parallel.spatial import (
     width_sharded_forward,

@@ -7,6 +7,7 @@ resolution, background = num_categories.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from range_view_3d_detection_tpu.ops import coding, targets as tgt_ops
 
@@ -172,6 +173,7 @@ def test_task_filtering():
     assert int(got.num_objects) == 0
 
 
+@pytest.mark.slow
 def test_batched_api():
     cart, valid, boxes, box_valid, box_task, box_offset = _make_scene(5)
     B = 2
