@@ -242,18 +242,39 @@ def _read_frames(tfrecord_path: Path):
         yield frame, range_images, range_image_top_pose
 
 
-def export_log(tfrecord_path: Path, dst_log_dir: Path, *, frames=None) -> int:
+def export_log(
+    tfrecord_path: Path,
+    dst_log_dir: Path,
+    *,
+    frames=None,
+    export_cameras: bool = True,
+) -> int:
     """Convert one segment; returns sweep count.
 
     ``frames`` overrides the TFRecord reader with any iterable of
     (frame, range_images, range_image_top_pose) — duck-typed protos are
     enough (used by the fixture tests; mirrors reference export.py:181+).
+
+    Beyond the lidar/label side, this writes the reference's full per-log
+    sidecar surface (export.py:199-305): ``city_SE3_egovehicle.feather``
+    (frame + per-camera-image poses), ``calibration/intrinsics.feather``
+    + ``calibration/egovehicle_SE3_sensor.feather``, and undistorted
+    camera JPEGs (``export_cameras=False`` skips the image decode for
+    lidar-only conversions).
     """
+    from converters.waymo.camera import (
+        export_camera_images,
+        form_calibration,
+        pose_row,
+    )
+
     if frames is None:
         frames = _read_frames(tfrecord_path)
 
     num_pts_rows = []
     ann_frames = []
+    pose_rows = []
+    wrote_calibration = False
     n = 0
     for frame, range_images, range_image_top_pose in frames:
         cols = convert_range_image_to_cartesian(
@@ -265,6 +286,25 @@ def export_log(tfrecord_path: Path, dst_log_dir: Path, *, frames=None) -> int:
         )
         ann_frames.append(build_argo_label(frame, cols))
         num_pts_rows.append((dst_log_dir.stem, ts, int((cols["range"] > 0).sum())))
+
+        pose_rows.append(
+            pose_row(
+                np.asarray(frame.pose.transform, np.float64).reshape(4, 4), ts
+            )
+        )
+        cam_calibs = getattr(frame.context, "camera_calibrations", ())
+        if not wrote_calibration and len(cam_calibs):
+            intr, extr = form_calibration(cam_calibs)
+            write_feather(
+                dst_log_dir / "calibration" / "intrinsics.feather", intr
+            )
+            write_feather(
+                dst_log_dir / "calibration" / "egovehicle_SE3_sensor.feather",
+                extr,
+            )
+            wrote_calibration = True
+        if export_cameras and len(getattr(frame, "images", ())):
+            pose_rows.extend(export_camera_images(frame, dst_log_dir))
         n += 1
 
     ann = {
@@ -272,6 +312,13 @@ def export_log(tfrecord_path: Path, dst_log_dir: Path, *, frames=None) -> int:
         for k in ann_frames[0]
     }
     write_feather(dst_log_dir / "annotations.feather", ann)
+
+    if pose_rows:
+        poses = {
+            k: np.asarray([r[k] for r in pose_rows]) for k in pose_rows[0]
+        }
+        poses["timestamp_ns"] = poses["timestamp_ns"].astype(np.int64)
+        write_feather(dst_log_dir / "city_SE3_egovehicle.feather", poses)
 
     # Per-sweep point counts feed the <50k-point train filter
     # (metadata/waymo.feather, loader.py:350-358).

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from range_view_3d_detection_tpu.parallel import spatial
+
 Dtype = Any
 
 
@@ -71,8 +73,44 @@ class TorchConvTranspose(nn.Module):
             (kh, kw, in_ch, self.features),
             self.param_dtype,
         )
+        ctx = spatial.context()
+        x = x.astype(self.dtype)
+        if ctx is not None and sw > 1:
+            # Width-sharded transposed conv: fetch the columns this
+            # kernel's footprint reads across the shard boundary, run the
+            # dilated conv on the widened block, slice the exact local
+            # output region (parallel/spatial.py module docstring).
+            halo_l = max(0, (kw - 1 - pw) // sw)
+            halo_r = max(0, (pw + sw - 1) // sw)
+            Wl = x.shape[2]
+            x = spatial.exchange_halo_lr(
+                x, halo_l, halo_r, ctx.axis, circular=ctx.circular
+            )
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=(
+                    (kh - 1 - ph, kh - 1 - ph),
+                    (kw - 1 - pw, kw - 1 - pw),
+                ),
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = jax.lax.slice_in_dim(
+                y, halo_l * sw, halo_l * sw + Wl * sw, axis=2
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias",
+                    nn.initializers.zeros,
+                    (self.features,),
+                    self.param_dtype,
+                )
+                y = y + bias.astype(self.dtype)
+            return y
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
+            x,
             kernel.astype(self.dtype),
             window_strides=(1, 1),
             padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
@@ -114,15 +152,24 @@ class ConvNormAct(nn.Module):
         # convs ((0,1) for k=3,s=2), which samples windows shifted by one
         # column — numerically different from the reference at every
         # strided stage. Same output sizes either way for stride | width.
-        pad = tuple(
+        (ph_lo, ph_hi), (pw_lo, pw_hi) = (
             ((k - 1) // 2, (k - 1) - (k - 1) // 2)
             for k in _pair(self.kernel_size)
         )
+        ctx = spatial.context()
+        if ctx is not None and (pw_lo or pw_hi):
+            # Width-sharded: source the width padding from ring neighbors
+            # and run VALID over width — output is exactly shard-width
+            # again, so BatchNorm below never sees halo columns.
+            x = spatial.exchange_halo_lr(
+                x, pw_lo, pw_hi, ctx.axis, circular=ctx.circular
+            )
+            pw_lo = pw_hi = 0
         y = nn.Conv(
             self.features,
             kernel_size=_pair(self.kernel_size),
             strides=_pair(self.strides),
-            padding=pad,
+            padding=((ph_lo, ph_hi), (pw_lo, pw_hi)),
             use_bias=use_bias,
             kernel_init=self.kernel_init,
             bias_init=self.bias_init,
@@ -136,6 +183,7 @@ class ConvNormAct(nn.Module):
                 epsilon=1e-5,
                 dtype=_bn_dtype(),
                 param_dtype=jnp.float32,
+                axis_name=(ctx.bn_axes or None) if ctx else None,
             )(y)
             y = y.astype(self.dtype)
         if self.act:
@@ -233,6 +281,7 @@ class AggregationBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x1: Array, x2: Array, train: bool = False) -> Array:
+        ctx = spatial.context()
         y = TorchConvTranspose(
             self.features,
             kernel_size=self.kernel_size,
@@ -247,6 +296,7 @@ class AggregationBlock(nn.Module):
             epsilon=1e-5,
             dtype=_bn_dtype(),
             param_dtype=jnp.float32,
+            axis_name=(ctx.bn_axes or None) if ctx else None,
         )(y)
         y = nn.relu(y.astype(self.dtype))
         y = x1 + y

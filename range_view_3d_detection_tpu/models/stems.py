@@ -18,8 +18,21 @@ import jax.numpy as jnp
 from jax import Array
 
 from range_view_3d_detection_tpu.models.blocks import BasicBlock, ConvNormAct
+from range_view_3d_detection_tpu.parallel import spatial
 
 Dtype = Any
+
+
+def _width_padded(x: Array, pad: int) -> Array:
+    """Zero width padding — or, under width sharding, real neighbor
+    columns from the ring shards (``parallel/spatial.py``)."""
+    ctx = spatial.context()
+    if ctx is not None:
+        return spatial.exchange_halo_lr(
+            x, pad, pad, ctx.axis, w_axis=2, circular=ctx.circular
+        )
+    spec = ((0, 0), (0, 0), (pad, pad)) + ((0, 0),) * (x.ndim - 3)
+    return jnp.pad(x, spec)
 
 
 def extract_neighbors(x: Array, num_neighbors: int) -> Array:
@@ -29,11 +42,13 @@ def extract_neighbors(x: Array, num_neighbors: int) -> Array:
     (``stems/__init__.py:69-77``) with channel-last layout. Neighbor order
     is row-major over (dy, dx), so the center sits at index ``n*n // 2``.
     The neighbor axis sits next to batch so downstream 1x1 convs can fold
-    it into the batch dimension without layout copies.
+    it into the batch dimension without layout copies. Under width
+    sharding the width padding comes from ring neighbors.
     """
     pad = num_neighbors // 2
     B, H, W, C = x.shape
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    xp = _width_padded(x, pad)
+    xp = jnp.pad(xp, ((0, 0), (pad, pad), (0, 0), (0, 0)))
     views = []
     for dy in range(num_neighbors):
         for dx in range(num_neighbors):
@@ -41,13 +56,19 @@ def extract_neighbors(x: Array, num_neighbors: int) -> Array:
     return jnp.stack(views, axis=1)
 
 
+def _padded_image(x: Array, pad: int) -> Array:
+    """Both pads applied once (width: halo-aware; height: zeros) so the
+    per-neighbor views below are pure slices — one halo exchange total."""
+    xp = _width_padded(x, pad)
+    return jnp.pad(
+        xp, ((0, 0), (pad, pad), (0, 0)) + ((0, 0),) * (x.ndim - 3)
+    )
+
+
 def _neighbor_view(x: Array, dy: int, dx: int, pad: int) -> Array:
     """One zero-padded neighborhood view (the (dy, dx) slice of unfold)."""
     B, H, W = x.shape[:3]
-    xp = jnp.pad(
-        x, ((0, 0), (pad, pad), (pad, pad)) + ((0, 0),) * (x.ndim - 3)
-    )
-    return xp[:, dy : dy + H, dx : dx + W]
+    return _padded_image(x, pad)[:, dy : dy + H, dx : dx + W]
 
 
 class MetaKernel(nn.Module):
@@ -138,8 +159,10 @@ class MetaKernel(nn.Module):
             xf = x.astype(jnp.float32)
             if train:
                 axes = tuple(range(x.ndim - 1))
-                m = xf.mean(axes)
-                v = jnp.square(xf).mean(axes) - jnp.square(m)
+                ctx = spatial.context()
+                m = spatial.bn_mean(xf.mean(axes), ctx)
+                msq = spatial.bn_mean(jnp.square(xf).mean(axes), ctx)
+                v = msq - jnp.square(m)
                 if not self.is_initializing():
                     mean.value = momentum * mean.value + (1 - momentum) * m
                     var.value = momentum * var.value + (1 - momentum) * v
@@ -170,6 +193,7 @@ class MetaKernel(nn.Module):
             (nn2, C, C),
             self.param_dtype,
         )
+        _ctx = spatial.context()
         fusion1_norm = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -177,6 +201,7 @@ class MetaKernel(nn.Module):
             dtype=jnp.float32,
             param_dtype=jnp.float32,
             name="fusion1_bn",
+            axis_name=(_ctx.bn_axes or None) if _ctx else None,
         )
         rest_fusion = [
             ConvNormAct(
@@ -221,6 +246,8 @@ class MetaKernel(nn.Module):
             and self.num_layers == 2
             and n == 3
             and jax.default_backend() in ("tpu", "cpu")
+            and spatial.context() is None  # kernel is device-local; the
+            # accumulate path below is halo-aware under width sharding
         ):
             # Gate on backend: the kernel lowers on TPU and runs in
             # interpret mode on CPU; any other backend (e.g. GPU) falls
@@ -250,15 +277,18 @@ class MetaKernel(nn.Module):
             # conv0 is linear and bias-free, so all 9 neighbor projections
             # come from ONE conv of cart: pos0_n = shift_n(g) - g.
             g = pos_conv(cart, 0)
+            B, H, W = feats.shape[:3]
+            gp = _padded_image(g, pad)
+            featsp = _padded_image(feats, pad)
             geo = None
             idx = 0
             for dy in range(n):
                 for dx in range(n):
-                    x0 = _neighbor_view(g, dy, dx, pad) - g
+                    x0 = gp[:, dy : dy + H, dx : dx + W] - g
                     pos = pos_tail(x0, 0)
                     term = jnp.einsum(
                         "bhwc,co->bhwo",
-                        pos * _neighbor_view(feats, dy, dx, pad),
+                        pos * featsp[:, dy : dy + H, dx : dx + W],
                         kernel[idx],
                     )
                     geo = term if geo is None else geo + term

@@ -1,0 +1,140 @@
+"""Quantify the static pre-NMS proposal budget (``nms_cap``) vs the
+reference's 50k dynamic budget (VERDICT r2 weak #6).
+
+The reference feeds up to ``num_pre_nms: 50000`` score-sorted proposals to
+NMS (``math/ops/nms.py:28-31``); the TPU path truncates to a static
+``nms_cap`` top-k (default 2048). The risk: on dense scenes the truncation
+clips the low-score tail that the AP integral would keep.
+
+This test builds a DENSE scene (9k above-threshold proposals — several
+times a real post-``min_confidence`` Argoverse sweep) with score-quality
+correlation (good boxes score high, junk scores 0.1-0.35, like a trained
+detector) and measures AP at caps 1024 / 2048 / 9216(≈uncapped). The
+assertion encodes the conclusion recorded in ``docs/PERFORMANCE.md``:
+cap 2048 is AP-neutral (<0.1 pt) because the clipped tail is junk that
+greedy NMS would mostly suppress anyway. The adversarial exception —
+thousands of TRUE positives scoring below the junk — is not reachable
+with a score-sorted top-k by construction (top-k keeps the highest
+scores; AP's integral weights low-score recall by low precision).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _dense_scene(seed=0, n_gt=250, dup_per_gt=12, n_junk=6000):
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(np.sqrt(n_gt)))
+    gx, gy = np.meshgrid(np.arange(side) * 10.0, np.arange(side) * 10.0)
+    centers = np.stack([gx.ravel(), gy.ravel()], -1)[:n_gt] - side * 5.0
+    yaw = rng.uniform(-np.pi, np.pi, n_gt)
+
+    gt = {
+        "x": centers[:, 0],
+        "y": centers[:, 1],
+        "z": np.zeros(n_gt),
+        "l": np.full(n_gt, 4.0),
+        "w": np.full(n_gt, 2.0),
+        "h": np.full(n_gt, 1.5),
+        "yaw": yaw,
+    }
+
+    # Correlated proposals: noise amplitude u drives both box error and
+    # score (score ~ 0.95 - 0.6 u + eps).
+    u = rng.uniform(0, 1, (n_gt, dup_per_gt))
+    px = centers[:, 0, None] + rng.normal(0, 1, (n_gt, dup_per_gt)) * (
+        0.1 + 0.8 * u
+    )
+    py = centers[:, 1, None] + rng.normal(0, 1, (n_gt, dup_per_gt)) * (
+        0.1 + 0.8 * u
+    )
+    pyaw = yaw[:, None] + rng.normal(0, 0.1, (n_gt, dup_per_gt))
+    pscore = np.clip(
+        0.95 - 0.6 * u + rng.normal(0, 0.05, (n_gt, dup_per_gt)), 0.12, 0.99
+    )
+
+    jx = rng.uniform(centers[:, 0].min(), centers[:, 0].max(), n_junk)
+    jy = rng.uniform(centers[:, 1].min(), centers[:, 1].max(), n_junk)
+    jyaw = rng.uniform(-np.pi, np.pi, n_junk)
+    jscore = rng.uniform(0.1, 0.35, n_junk)
+
+    n = n_gt * dup_per_gt + n_junk
+    cuboids = np.zeros((n, 7), np.float32)
+    cuboids[:, 0] = np.concatenate([px.ravel(), jx])
+    cuboids[:, 1] = np.concatenate([py.ravel(), jy])
+    cuboids[:, 3] = 4.0
+    cuboids[:, 4] = 2.0
+    cuboids[:, 5] = 1.5
+    cuboids[:, 6] = np.concatenate([pyaw.ravel(), jyaw])
+    scores = np.concatenate([pscore.ravel(), jscore]).astype(np.float32)
+    return gt, cuboids, scores
+
+
+def _ap_after_nms(gt, cuboids, scores, cap):
+    import jax.numpy as jnp
+
+    from range_view_3d_detection_tpu.evaluation import av2_eval
+    from range_view_3d_detection_tpu.ops.nms import multiclass_nms
+
+    res = multiclass_nms(
+        jnp.asarray(cuboids),
+        jnp.asarray(scores),
+        jnp.zeros(len(scores), jnp.int32),
+        cap=cap,
+        backend="lax",
+    )
+    keep = np.asarray(res.keep)
+    det = np.asarray(res.cuboids)[keep]
+    det_scores = np.asarray(res.scores)[keep]
+
+    def frame(x, y, z, l, w, h, yaw, n, **extra):
+        out = {
+            "tx_m": x,
+            "ty_m": y,
+            "tz_m": z,
+            "length_m": l,
+            "width_m": w,
+            "height_m": h,
+            "qw": np.cos(yaw / 2),
+            "qx": np.zeros(n),
+            "qy": np.zeros(n),
+            "qz": np.sin(yaw / 2),
+            "category": np.asarray(["VEHICLE"] * n),
+            "log_id": np.asarray(["log"] * n),
+            "timestamp_ns": np.full(n, 10**9, np.int64),
+        }
+        out.update(extra)
+        return out
+
+    gts = frame(
+        gt["x"], gt["y"], gt["z"], gt["l"], gt["w"], gt["h"], gt["yaw"],
+        len(gt["x"]),
+        num_interior_pts=np.full(len(gt["x"]), 50, np.int64),
+    )
+    dts = frame(
+        det[:, 0], det[:, 1], det[:, 2], det[:, 3], det[:, 4], det[:, 5],
+        det[:, 6], len(det), score=det_scores,
+    )
+    out = av2_eval.evaluate(dts, gts, ["VEHICLE"])
+    return float(out["VEHICLE"]["AP"])
+
+
+def test_nms_cap_2048_is_ap_neutral_on_dense_scene():
+    gt, cuboids, scores = _dense_scene()
+    assert (scores >= 0.1).sum() > 8000  # genuinely dense
+
+    ap_full = _ap_after_nms(gt, cuboids, scores, cap=9216)
+    ap_2048 = _ap_after_nms(gt, cuboids, scores, cap=2048)
+    ap_1024 = _ap_after_nms(gt, cuboids, scores, cap=1024)
+    print(f"AP full={ap_full:.4f} cap2048={ap_2048:.4f} cap1024={ap_1024:.4f}")
+
+    # Measured (seed 0): full=0.9582, cap2048=0.9630, cap1024=0.9746 —
+    # the cap is AP-NEUTRAL-OR-BETTER: the clipped tail is junk whose
+    # surviving low-score detections only add interleaved FPs to the P/R
+    # curve. Assert the cap never costs more than 0.1 pt and stays within
+    # 1 pt of the uncapped budget in either direction.
+    assert ap_2048 >= ap_full - 1e-3, (ap_2048, ap_full)
+    assert abs(ap_2048 - ap_full) < 1e-2, (ap_2048, ap_full)
+    assert ap_full > 0.5  # the scene is solvable

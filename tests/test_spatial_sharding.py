@@ -1,4 +1,10 @@
-"""Width (azimuth) sharding tests on the virtual 8-device CPU mesh."""
+"""Width (azimuth) sharding tests on the virtual 8-device CPU mesh.
+
+Round-3 design (``parallel/spatial.py``): per-op halo exchange makes the
+width-sharded network EXACT vs the global model — forward, loss, and
+gradients — not a bounded-halo approximation. These tests assert that
+equivalence end-to-end.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +15,10 @@ pytestmark = pytest.mark.slow
 
 from range_view_3d_detection_tpu.parallel.mesh import make_mesh
 from range_view_3d_detection_tpu.parallel.spatial import (
+    exchange_halo,
+    width_sharded_apply,
     width_sharded_forward,
+    width_sharding,
     width_shardings,
 )
 
@@ -17,8 +26,6 @@ from range_view_3d_detection_tpu.parallel.spatial import (
 def test_halo_exchange_matches_roll():
     """Sharded halo exchange + identity == circularly padded global slices."""
     from jax.sharding import PartitionSpec as P
-
-    from range_view_3d_detection_tpu.parallel.spatial import exchange_halo
 
     mesh = make_mesh(num_data=1, num_model=8)
     B, H, W, C = 1, 2, 64, 3
@@ -34,9 +41,7 @@ def test_halo_exchange_matches_roll():
         in_specs=P("data", None, "model", None),
         out_specs=P("data", None, "model", None),
     )
-    xg = jax.device_put(
-        jnp.asarray(x), width_shardings(mesh)[0]
-    )
+    xg = jax.device_put(jnp.asarray(x), width_shardings(mesh)[0])
     out = np.asarray(fn(xg))  # (B, H, 8 * (8 + 2*halo), C)
     shard_w = W // 8
     for d in range(8):
@@ -49,47 +54,82 @@ def test_halo_exchange_matches_roll():
         np.testing.assert_array_equal(blk, want)
 
 
-def test_width_sharded_conv_exact():
-    """A width-sharded SAME conv with halo == the circular-padded global conv."""
-    import flax.linen as nn
+@pytest.mark.parametrize("strides", [(1, 1), (1, 2)])
+def test_width_sharded_conv_exact(strides):
+    """A width-sharded ConvNormAct == the global one (incl. stride)."""
+    from range_view_3d_detection_tpu.models.blocks import ConvNormAct
 
     mesh = make_mesh(num_data=1, num_model=8)
     B, H, W, C = 1, 4, 64, 3
-    halo = 2
 
-    conv = nn.Conv(8, (3, 3), padding="SAME")
+    conv = ConvNormAct(8, kernel_size=(3, 3), strides=strides)
     rng = np.random.default_rng(0)
     x = rng.normal(size=(B, H, W, C)).astype(np.float32)
     variables = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
 
     def apply_fn(v, f, c, m):
         y = conv.apply(v, f)
-        return {"head": {1: {"y": y}}, "strided": {1: {"cart": f, "mask": m}}}
+        return {"head": {1: {"y": y}}, "strided": {1: {"cart": c, "mask": m}}}
 
     r4, r3 = width_shardings(mesh)
     fg = jax.device_put(jnp.asarray(x), r4)
     cg = jax.device_put(jnp.zeros((B, H, W, 3), jnp.float32), r4)
     mg = jax.device_put(jnp.ones((B, H, W), bool), r3)
 
-    out = width_sharded_forward(
-        apply_fn, mesh, variables, fg, cg, mg, halo=halo
-    )
+    out = width_sharded_forward(apply_fn, mesh, variables, fg, cg, mg)
     got = np.asarray(out["head"][1]["y"])
+    ref = np.asarray(conv.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
 
-    # Global reference with circular width padding (the azimuth seam wrap).
-    xp = np.concatenate([x[:, :, -halo:], x, x[:, :, :halo]], axis=2)
-    ref = np.asarray(conv.apply(variables, jnp.asarray(xp)))[:, :, halo:-halo]
+
+def test_width_sharded_deconv_exact():
+    """AggregationBlock (transposed conv upsample) sharded == global."""
+    from range_view_3d_detection_tpu.models.blocks import AggregationBlock
+
+    mesh = make_mesh(num_data=1, num_model=4)
+    B, H = 1, 4
+    W_coarse, C1, C2 = 16, 8, 12  # upsampled x4 -> W 64
+
+    blk = AggregationBlock(
+        C1, kernel_size=(3, 8), strides=(1, 4), padding=(1, 2), num_blocks=2
+    )
+    rng = np.random.default_rng(1)
+    x1 = rng.normal(size=(B, H, W_coarse * 4, C1)).astype(np.float32)
+    x2 = rng.normal(size=(B, H, W_coarse, C2)).astype(np.float32)
+    variables = blk.init(
+        jax.random.PRNGKey(0), jnp.asarray(x1), jnp.asarray(x2), False
+    )
+
+    ref = np.asarray(blk.apply(variables, jnp.asarray(x1), jnp.asarray(x2), False))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    r4 = NamedSharding(mesh, P("data", None, "model", None))
+    x1g = jax.device_put(jnp.asarray(x1), r4)
+    x2g = jax.device_put(jnp.asarray(x2), r4)
+
+    def local(v, a, b):
+        with width_sharding("model"):
+            return blk.apply(v, a, b, False)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("data", None, "model", None), P("data", None, "model", None)),
+        out_specs=P("data", None, "model", None),
+    )
+    got = np.asarray(fn(variables, x1g, x2g))
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_width_sharded_detector_smoke():
-    """Full tiny detector through the width-sharded path: shapes + finite."""
+@pytest.mark.parametrize("stem", ["BASIC", "META"])
+def test_width_sharded_detector_exact(stem):
+    """Full tiny detector, width-sharded eval forward == global forward."""
     from range_view_3d_detection_tpu.models.detector import Detector
     from tests.test_model import tiny_batch, tiny_config
 
-    # 2 width shards: local 32 + 2*16 halo = 64, divisible by the 16x stride.
     mesh = make_mesh(num_data=1, num_model=2)
-    cfg = tiny_config(stem_type="BASIC")
+    cfg = tiny_config(stem_type=stem)
     batch = tiny_batch(B=1)
     model = Detector(cfg)
     variables = model.init(
@@ -100,113 +140,106 @@ def test_width_sharded_detector_smoke():
         train=False,
     )
 
-    def apply_fn(v, f, c, m):
-        return model.apply(v, f, c, m, train=False)
-
-    r4, r3 = width_shardings(mesh)
-    fg = jax.device_put(batch["features"], r4)
-    cg = jax.device_put(batch["cart"], r4)
-    mg = jax.device_put(batch["mask"], r3)
-
-    out = width_sharded_forward(
-        apply_fn, mesh, variables, fg, cg, mg, halo=16
+    ref = model.apply(
+        variables, batch["features"], batch["cart"], batch["mask"], train=False
     )
-    logits = np.asarray(out["head"][1][0]["logits"])
-    assert logits.shape == (1, 8, 64, 2)
-    assert np.isfinite(logits).all()
+
+    r4, r3 = width_shardings(mesh)
+    fg = jax.device_put(batch["features"], r4)
+    cg = jax.device_put(batch["cart"], r4)
+    mg = jax.device_put(batch["mask"], r3)
+    out = width_sharded_forward(
+        lambda v, f, c, m: model.apply(v, f, c, m, train=False),
+        mesh,
+        variables,
+        fg,
+        cg,
+        mg,
+    )
+    for s in ref["head"]:
+        for t in ref["head"][s]:
+            for name in ("logits", "regressands"):
+                np.testing.assert_allclose(
+                    np.asarray(out["head"][s][t][name]),
+                    np.asarray(ref["head"][s][t][name]),
+                    atol=2e-5,
+                    err_msg=f"{stem} s{s} t{t} {name}",
+                )
 
 
-def _grad_cosine_and_err(halo, mesh, model, variables, batch, readout):
-    import jax.numpy as jnp
+def test_width_sharded_train_step_exact():
+    """Width-sharded TRAINING: loss, gradients, and BatchNorm batch
+    statistics all match the global model (the round-2 review's "exact,
+    not approximate" requirement — VERDICT item 4)."""
+    from range_view_3d_detection_tpu.models.detector import (
+        Detector,
+        detection_loss,
+    )
+    from tests.test_model import tiny_batch, tiny_config
 
+    mesh = make_mesh(num_data=1, num_model=2)
+    cfg = tiny_config(stem_type="META")
+    batch = tiny_batch(B=1)
+    model = Detector(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["features"],
+        batch["cart"],
+        batch["mask"],
+        train=True,
+    )
     params = variables["params"]
-    rest = {k: v for k, v in variables.items() if k != "params"}
+    stats = variables["batch_stats"]
+
+    sharded_apply = width_sharded_apply(model, mesh, train=True)
     r4, r3 = width_shardings(mesh)
     fg = jax.device_put(batch["features"], r4)
     cg = jax.device_put(batch["cart"], r4)
     mg = jax.device_put(batch["mask"], r3)
 
-    def sharded_loss(params):
-        out = width_sharded_forward(
-            lambda v, f, c, m: model.apply(v, f, c, m, train=False),
-            mesh,
-            {"params": params, **rest},
-            fg,
-            cg,
-            mg,
-            halo=halo,
+    def loss_sharded(params):
+        out, mutated = sharded_apply(
+            {"params": params, "batch_stats": stats}, fg, cg, mg
         )
-        return readout(out)
+        loss, _ = detection_loss(out, batch, cfg)
+        return loss, mutated["batch_stats"]
 
-    def global_loss(params):
-        out = model.apply(
-            {"params": params, **rest},
+    def loss_global(params):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": stats},
             batch["features"],
             batch["cart"],
             batch["mask"],
-            train=False,
+            train=True,
+            mutable=["batch_stats"],
         )
-        return readout(out)
+        loss, _ = detection_loss(out, batch, cfg)
+        return loss, mutated["batch_stats"]
 
-    l_s, g_s = jax.value_and_grad(sharded_loss)(params)
-    l_g, g_g = jax.value_and_grad(global_loss)(params)
-    fs = jnp.concatenate(
-        [x.reshape(-1) for x in jax.tree_util.tree_leaves(g_s)]
-    )
-    fg_ = jnp.concatenate(
-        [x.reshape(-1) for x in jax.tree_util.tree_leaves(g_g)]
-    )
-    cos = float(
-        jnp.vdot(fs, fg_)
-        / (jnp.linalg.norm(fs) * jnp.linalg.norm(fg_) + 1e-12)
-    )
-    rel_l = abs(float(l_s) - float(l_g)) / (abs(float(l_g)) + 1e-12)
-    rel_g = float(jnp.linalg.norm(fs - fg_) / (jnp.linalg.norm(fg_) + 1e-12))
-    return rel_l, rel_g, cos
+    (l_s, bs_s), g_s = jax.jit(
+        jax.value_and_grad(loss_sharded, has_aux=True)
+    )(params)
+    (l_g, bs_g), g_g = jax.jit(
+        jax.value_and_grad(loss_global, has_aux=True)
+    )(params)
 
+    np.testing.assert_allclose(float(l_s), float(l_g), rtol=1e-5)
 
-def test_width_sharded_training_gradient_quality():
-    """Backward through the shard_map halo exchange (NEXT.md item 6:
-    width-sharded *training*).
+    flat_s = jax.tree_util.tree_leaves_with_path(g_s)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(g_g))
+    for path, leaf in flat_s:
+        want = flat_g[path]
+        scale = max(float(jnp.abs(want).max()), 1e-6)
+        err = float(jnp.abs(leaf - want).max()) / scale
+        assert err < 1e-4, f"grad {jax.tree_util.keystr(path)}: {err:.2e}"
 
-    The detector\'s stride-16 aggregation path has a receptive field that
-    spans the full azimuth, so bounded-halo width sharding is an
-    APPROXIMATION of the global network (per-op exactness up to the halo
-    is covered by ``test_width_sharded_conv_exact``). This test asserts
-    the training path works: gradients flow through the ppermute halos,
-    are finite, and stay aligned with the global model\'s gradients at a
-    toy scale where the halo is a large fraction of the shard width —
-    the weakest case for the approximation.
-    """
-    import jax.numpy as jnp
-
-    from range_view_3d_detection_tpu.models.detector import Detector
-    from tests.test_model import tiny_batch, tiny_config
-
-    mesh = make_mesh(num_data=1, num_model=2)
-    cfg = tiny_config(stem_type="BASIC")
-    batch = tiny_batch(B=1)
-    model = Detector(cfg)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        batch["features"],
-        batch["cart"],
-        batch["mask"],
-        train=False,
-    )
-
-    def readout(out):
-        total = 0.0
-        for s in out["head"]:
-            for t in out["head"][s]:
-                for name, arr in out["head"][s][t].items():
-                    w = jnp.cos(jnp.arange(arr.size, dtype=jnp.float32))
-                    total = total + jnp.vdot(arr.reshape(-1), w)
-        return total
-
-    rel_l, rel_g, cos = _grad_cosine_and_err(
-        16, mesh, model, variables, batch, readout
-    )
-    assert np.isfinite(rel_g)
-    assert cos > 0.75, f"gradient cosine {cos}"
-    assert rel_l < 0.05, f"loss rel err {rel_l}"
+    stats_s = dict(jax.tree_util.tree_leaves_with_path(bs_s))
+    for path, want in jax.tree_util.tree_leaves_with_path(bs_g):
+        got = stats_s[path]
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(want),
+            rtol=1e-4,
+            atol=1e-6,
+            err_msg=f"batch_stats {jax.tree_util.keystr(path)}",
+        )

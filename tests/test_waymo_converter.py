@@ -267,3 +267,145 @@ def test_export_log_end_to_end(tmp_path):
         meta["timestamp_ns"], [1_000_000_000, 1_100_000_000]
     )
     assert (meta["num_pts"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Camera / calibration / pose sidecars (reference export.py:199-305).
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_bytes(img: np.ndarray) -> bytes:
+    try:
+        import tensorflow as tf
+
+        return bytes(tf.io.encode_jpeg(img).numpy())
+    except ImportError:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG")
+        return buf.getvalue()
+
+
+def _camera_fixture(seed=0):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+    extrinsic = np.eye(4)
+    extrinsic[:3, 3] = [1.5, 0.1, 2.0]
+    calib = SimpleNamespace(
+        name=1,
+        extrinsic=SimpleNamespace(transform=extrinsic.reshape(-1).tolist()),
+        intrinsic=[40.0, 40.0, 24.0, 16.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        width=48,
+        height=32,
+    )
+    pose = np.eye(4)
+    pose[:3, 3] = [100.0, 50.0, 2.0]
+    cam_image = SimpleNamespace(
+        name=1,
+        image=_jpeg_bytes(img),
+        pose=SimpleNamespace(transform=pose.reshape(-1).tolist()),
+        pose_timestamp=1.2345,
+    )
+    return calib, cam_image, img
+
+
+def test_rotmat_to_quat_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    from converters.waymo.camera import rotmat_to_quat
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        R = Rotation.random(random_state=rng.integers(1 << 31)).as_matrix()
+        w, x, y, z = rotmat_to_quat(R)
+        sx, sy, sz, sw = Rotation.from_matrix(R).as_quat()
+        # Same rotation up to global sign.
+        got = np.array([w, x, y, z])
+        want = np.array([sw, sx, sy, sz])
+        if np.dot(got, want) < 0:
+            want = -want
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_undistort_zero_coeffs_is_identity():
+    from converters.waymo.camera import undistort_image
+
+    rng = np.random.default_rng(6)
+    img = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+    out = undistort_image(img, [25.0, 25.0, 15.0, 10.0, 0, 0, 0, 0, 0])
+    np.testing.assert_array_equal(out, img)
+
+
+def test_undistort_radial_moves_corners_inward():
+    """Positive k1 (barrel model in the forward direction) samples source
+    pixels further from center at the image corners."""
+    from converters.waymo.camera import undistort_image
+
+    img = np.zeros((41, 41), np.uint8)
+    img[0, 0] = 255  # corner marker
+    out = undistort_image(img, [20.0, 20.0, 20.0, 20.0, 0.2, 0, 0, 0, 0])
+    # With k1>0, the output corner samples OUTSIDE the source image -> 0.
+    assert out[0, 0] == 0
+
+
+def test_form_calibration_standard_camera_frame():
+    from converters.waymo.camera import form_calibration, rot_x, rot_y
+
+    calib, _, _ = _camera_fixture()
+    intr, extr = form_calibration([calib])
+    assert list(intr["sensor_name"]) == ["ring_front_center"]
+    np.testing.assert_allclose(intr["fx_px"], [40.0])
+    np.testing.assert_allclose(intr["height_px"], [32])
+    # Identity waymo rotation -> R = S.T where S = rotY(-90) rotX(90):
+    # quaternion must reproduce that rotation.
+    S = rot_y(-90) @ rot_x(90)
+    w, x, y, z = (float(extr[k][0]) for k in ("qw", "qx", "qy", "qz"))
+    R = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    np.testing.assert_allclose(R, S.T, atol=1e-9)
+    np.testing.assert_allclose(
+        [extr["tx_m"][0], extr["ty_m"][0], extr["tz_m"][0]], [1.5, 0.1, 2.0]
+    )
+
+
+def test_export_log_camera_sidecars(tmp_path):
+    """export_log writes poses, calibration feathers, and undistorted
+    camera JPEGs alongside the lidar surface (superset-equal per-log tree
+    vs the reference for a fixture log)."""
+    from converters.waymo.export import export_log
+    from range_view_3d_detection_tpu.utils.feather import read_feather
+
+    calib, cam_image, _ = _camera_fixture()
+    frames = []
+    for i, ts in enumerate((1_000_000, 1_100_000)):
+        frame, ri, pose_ri = _fake_frame(ts, seed=3 + i)
+        frame.context.camera_calibrations = [calib]
+        frame.images = [cam_image]
+        frames.append((frame, ri, pose_ri))
+
+    dst = tmp_path / "log_cam"
+    n = export_log(None, dst, frames=iter(frames))
+    assert n == 2
+
+    poses = read_feather(dst / "city_SE3_egovehicle.feather")
+    # 2 frame poses + 2 camera-image poses.
+    assert len(poses["timestamp_ns"]) == 4
+    assert 1_000_000_000 in poses["timestamp_ns"]
+    assert int(1.2345e9) in poses["timestamp_ns"]
+
+    intr = read_feather(dst / "calibration" / "intrinsics.feather")
+    extr = read_feather(dst / "calibration" / "egovehicle_SE3_sensor.feather")
+    assert list(intr["sensor_name"]) == ["ring_front_center"]
+    assert list(extr["sensor_name"]) == ["ring_front_center"]
+
+    jpgs = sorted((dst / "sensors" / "cameras" / "ring_front_center").glob("*.jpg"))
+    assert [p.stem for p in jpgs] == [str(int(1.2345e9))]
+    assert jpgs[0].stat().st_size > 100
