@@ -121,8 +121,20 @@ def process_sum_scalars(values: Dict[str, float]) -> Dict[str, float]:
 
 def initialize_distributed() -> None:
     """Multi-host bring-up (SLURM/jobset analog of the reference's
-    ``dist.init_process_group`` path). No-op on a single host."""
+    ``dist.init_process_group`` path). No-op on a single host.
+
+    Cluster schedulers that jax auto-detects (SLURM, GKE jobset) need only
+    ``JAX_COORDINATOR_ADDRESS``; manual launches (e.g.
+    ``scripts/launch-local-hosts.sh``) pass the process topology through
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` explicitly.
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=addr, **kwargs)

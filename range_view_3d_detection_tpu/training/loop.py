@@ -215,11 +215,27 @@ class Trainer:
             replicated_sharding,
         )
 
-        key = jax.device_put(
-            jax.random.PRNGKey(0), list(self.mesh.devices.flat)[0]
-        )
+        # Keys/initial state must live on a device THIS process owns;
+        # mesh.devices.flat starts with process 0's devices in multi-host.
+        local = [
+            d
+            for d in self.mesh.devices.flat
+            if d.process_index == jax.process_index()
+        ]
+        key = jax.device_put(jax.random.PRNGKey(0), local[0])
         state = create_state(key, self.det_cfg, self.tx, sample_batch)
-        state = jax.device_put(state, replicated_sharding(self.mesh))
+        if jax.process_count() > 1:
+            # Every process computed the identical state (same seed);
+            # stitch the host-local copies into one replicated global
+            # array (device_put to non-addressable devices is invalid).
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            state = multihost_utils.host_local_array_to_global_array(
+                jax.tree_util.tree_map(np.asarray, state), self.mesh, P()
+            )
+        else:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
         if self.ckpt is not None and self.ckpt.latest_step() is not None:
             state, _ = self.ckpt.restore(state)
             logger.info("resumed from step %d", int(state.step))

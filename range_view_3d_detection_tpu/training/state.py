@@ -42,15 +42,18 @@ def create_state(
 ) -> TrainState:
     import numpy as np
 
+    from range_view_3d_detection_tpu.parallel.mesh import fetch_local
+
     model = Detector(config)
     # Initialize from host copies so init never mixes device placements
-    # (the sample batch may already be sharded over a mesh); callers
-    # device_put the returned state onto their mesh.
+    # (the sample batch may already be sharded over a mesh — multi-host,
+    # only this process's rows are addressable); callers device_put the
+    # returned state onto their mesh.
     variables = model.init(
         rng,
-        np.asarray(sample_batch["features"][:1]),
-        np.asarray(sample_batch["cart"][:1]),
-        np.asarray(sample_batch["mask"][:1]),
+        np.asarray(fetch_local(sample_batch["features"])[:1]),
+        np.asarray(fetch_local(sample_batch["cart"])[:1]),
+        np.asarray(fetch_local(sample_batch["mask"])[:1]),
         train=True,
     )
     params = variables["params"]

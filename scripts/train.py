@@ -18,9 +18,22 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+# This image latches the jax platform very early (JAX_PLATFORMS=cpu in the
+# environment alone still selects the TPU tunnel); mirror the env into
+# jax.config FIRST, before any repo import can touch jax.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 from range_view_3d_detection_tpu.parallel.mesh import initialize_distributed
-from range_view_3d_detection_tpu.training.loop import Trainer
 from range_view_3d_detection_tpu.utils.config import compose
+
+# NOTE: Trainer (and through it orbax/flax) is imported inside main(),
+# AFTER initialize_distributed() — importing it first initializes the XLA
+# backend, which jax.distributed.initialize() refuses to follow.
 
 # force=True: jax/absl may already have configured the root logger at
 # WARNING, which would silently swallow every INFO line below.
@@ -40,6 +53,9 @@ def main(argv: list[str]) -> None:
         raise SystemExit("usage: train.py experiment=<name> [++key=value ...]")
 
     initialize_distributed()
+
+    from range_view_3d_detection_tpu.training.loop import Trainer
+
     cfg = compose(REPO_ROOT / "conf", experiment, overrides)
     trainer = Trainer(cfg)
     logger.info(

@@ -44,17 +44,40 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/fwd_trace")
     ap.add_argument("--summarize-only", action="store_true")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--height", type=int, default=64)
+    # 1808 = x_stride 1; 464 = the rv-av2-fast x_stride-4 operating point
+    # ((1800 + 2*28) / 4, data/dataset.py::width_padding).
+    ap.add_argument("--width", type=int, default=1808)
+    ap.add_argument("--decode", action="store_true", help="trace decode+NMS too")
     args = ap.parse_args()
 
     if not args.summarize_only:
         from __graft_entry__ import _flagship_config, _sample_inputs
+        from range_view_3d_detection_tpu.models.decoder import (
+            DecoderConfig,
+            decode,
+        )
         from range_view_3d_detection_tpu.models.detector import Detector
 
         cfg = _flagship_config()
         model = Detector(cfg)
-        f, c, m = _sample_inputs(1, 64, 1808, 5)
+        f, c, m = _sample_inputs(args.batch, args.height, args.width, 5)
         variables = model.init(jax.random.PRNGKey(0), f, c, m, train=False)
-        fwd = jax.jit(lambda v, a, b, d: model.apply(v, a, b, d, train=False))
+        if args.decode:
+            dec = DecoderConfig(nms_cap=1024)
+            fwd = jax.jit(
+                lambda v, a, b, d: decode(
+                    model.apply(v, a, b, d, train=False),
+                    dec,
+                    cfg.tasks_dict,
+                    use_nms=True,
+                )
+            )
+        else:
+            fwd = jax.jit(
+                lambda v, a, b, d: model.apply(v, a, b, d, train=False)
+            )
         out = fwd(variables, f, c, m)
         float(jax.tree_util.tree_leaves(out)[0].sum())
         with jax.profiler.trace(args.out):
