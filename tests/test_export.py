@@ -119,6 +119,44 @@ def test_artifact_roundtrip(tmp_path):
     )
 
 
+def test_chunked_predict_matches_per_call(tmp_path):
+    """The device-resident lax.scan serving loop (one dispatch per chunk,
+    one micro-batch of activations live) returns exactly the per-call
+    predict outputs, stacked along the chunk axis."""
+    from export import export_artifact, load_artifact, make_chunked_predict
+
+    from range_view_3d_detection_tpu.models.decoder import DecoderConfig
+    from range_view_3d_detection_tpu.models.detector import Detector
+
+    cfg = _small_cfg()
+    model = Detector(cfg)
+    f0, c0, m0 = _inputs(seed=0)
+    variables = model.init(jax.random.PRNGKey(3), f0, c0, m0, train=False)
+    art = tmp_path / "art"
+    export_artifact(
+        variables, cfg, DecoderConfig(nms_cap=64, num_post_nms=16), art
+    )
+    predict, _, _ = load_artifact(art)
+    run_chunk = make_chunked_predict(predict)
+
+    parts = [_inputs(seed=s) for s in range(3)]
+    stacked = tuple(
+        np.stack([np.asarray(p[j]) for p in parts]) for j in range(3)
+    )
+    got = run_chunk(*stacked)
+    for i, (f, c, m) in enumerate(parts):
+        want = predict(f, c, m)
+        np.testing.assert_allclose(
+            np.asarray(got.scores)[i], np.asarray(want.scores), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.cuboids)[i], np.asarray(want.cuboids), atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.keep)[i], np.asarray(want.keep)
+        )
+
+
 def test_aot_export_roundtrip(tmp_path):
     """jax.export serialization: the AOT artifact runs without model code
     paths and matches the jitted predict."""
