@@ -138,21 +138,27 @@ class Detector(nn.Module):
             param_dtype=jnp.float32,
         )(multiscale, train=train)
 
-        # Strided views of the geometric inputs (detection_head.py:140-161):
-        # width-only column slicing, plus the RANGE partition gate on the
-        # validity mask when configured.
-        strided: Dict[int, Dict[str, Array]] = {}
-        rp = dict(cfg.targets.range_partitions)
-        for stride in cfg.fpn_strides:
-            cart_s = cart[:, :, ::stride]
-            mask_s = mask[:, :, ::stride]
-            if cfg.targets.fpn_assignment_method == "RANGE":
-                lo, hi = rp.get(stride, (0.0, float("inf")))
-                d = jnp.linalg.norm(cart_s, axis=-1)
-                mask_s = mask_s & (d > lo) & (d <= hi)
-            strided[stride] = {"cart": cart_s, "mask": mask_s}
+        return {"head": head_out, "strided": strided_views(cart, mask, cfg)}
 
-        return {"head": head_out, "strided": strided}
+
+def strided_views(
+    cart: Array, mask: Array, cfg: "DetectorConfig"
+) -> Dict[int, Dict[str, Array]]:
+    """Strided views of the geometric inputs (detection_head.py:140-161):
+    width-only column slicing, plus the RANGE partition gate on the
+    validity mask when configured. Shared by the Flax forward and the
+    int8-quantized serving path (models/quantized.py)."""
+    strided: Dict[int, Dict[str, Array]] = {}
+    rp = dict(cfg.targets.range_partitions)
+    for stride in cfg.fpn_strides:
+        cart_s = cart[:, :, ::stride]
+        mask_s = mask[:, :, ::stride]
+        if cfg.targets.fpn_assignment_method == "RANGE":
+            lo, hi = rp.get(stride, (0.0, float("inf")))
+            d = jnp.linalg.norm(cart_s, axis=-1)
+            mask_s = mask_s & (d > lo) & (d <= hi)
+        strided[stride] = {"cart": cart_s, "mask": mask_s}
+    return strided
 
 
 def compute_batch_targets(batch: Dict[str, Array], cfg: DetectorConfig):

@@ -141,7 +141,21 @@ def _decoder_config_from_meta(d: dict):
 # -- export / load ------------------------------------------------------------
 
 
-def export_artifact(variables, det_cfg, dec_cfg, out_dir: Path) -> None:
+def export_artifact(
+    variables,
+    det_cfg,
+    dec_cfg,
+    out_dir: Path,
+    *,
+    quantize_batches=None,
+) -> None:
+    """Write the serving artifact; optionally add int8-quantized heads.
+
+    ``quantize_batches``: calibration batches ``[(feats, cart, mask), ...]``
+    — when given, the BN-folded DenseHead towers are PTQ-quantized to
+    symmetric int8 (models/quantized.py) and shipped alongside the fp
+    variables as ``qhead.msgpack``; loading then defaults to the int8 path.
+    """
     import flax.serialization
 
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -152,11 +166,28 @@ def export_artifact(variables, det_cfg, dec_cfg, out_dir: Path) -> None:
     (out_dir / "meta.json").write_text(
         json.dumps(_config_to_meta(det_cfg, dec_cfg))
     )
+    if quantize_batches is not None:
+        from range_view_3d_detection_tpu.models.detector import Detector
+        from range_view_3d_detection_tpu.models.quantized import (
+            calibrate_head_scales,
+            quantize_head,
+        )
+
+        model = Detector(det_cfg)
+        scales = calibrate_head_scales(model, folded, quantize_batches)
+        qhead = quantize_head(folded["params"], scales)
+        (out_dir / "qhead.msgpack").write_bytes(
+            flax.serialization.msgpack_serialize(qhead)
+        )
     print(f"artifact written to {out_dir}")
 
 
-def load_artifact(art_dir: Path, *, use_nms: bool = True):
-    """Rebuild a jitted end-to-end predict fn from an artifact dir."""
+def load_artifact(art_dir: Path, *, use_nms: bool = True, quantized="auto"):
+    """Rebuild a jitted end-to-end predict fn from an artifact dir.
+
+    ``quantized``: "auto" takes the int8 head path iff the artifact ships
+    ``qhead.msgpack``; True requires it; False forces the fp path.
+    """
     import flax.serialization
 
     from range_view_3d_detection_tpu.models.decoder import decode
@@ -171,6 +202,23 @@ def load_artifact(art_dir: Path, *, use_nms: bool = True):
     variables = flax.serialization.msgpack_restore(
         (art_dir / "variables.msgpack").read_bytes()
     )
+    qhead_path = art_dir / "qhead.msgpack"
+    use_q = qhead_path.exists() if quantized == "auto" else bool(quantized)
+    if use_q:
+        from range_view_3d_detection_tpu.models.quantized import (
+            make_quantized_forward,
+        )
+
+        qhead = flax.serialization.msgpack_restore(qhead_path.read_bytes())
+        forward = make_quantized_forward(variables, qhead, det_cfg)
+
+        @jax.jit
+        def predict(feats, cart, mask):
+            out = forward(feats, cart, mask)
+            return decode(out, dec_cfg, tasks, use_nms=use_nms)
+
+        return predict, det_cfg, dec_cfg
+
     model = Detector(det_cfg)
 
     @jax.jit
@@ -398,6 +446,19 @@ def main(argv):
         help="synthetic-export proposal budget (<=1024 takes the Pallas "
         "NMS scan; larger budgets take the lax fallback)",
     )
+    ap.add_argument(
+        "--quantize",
+        action="store_true",
+        help="PTQ the head towers to int8 at export (calibrated on "
+        "synthetic batches at the export shapes); loading such an "
+        "artifact takes the int8 path unless --fp",
+    )
+    ap.add_argument(
+        "--fp",
+        action="store_true",
+        help="force the fp (bf16) head path when loading an artifact "
+        "that ships int8 heads",
+    )
     args = ap.parse_args(argv)
 
     if args.load:
@@ -409,7 +470,9 @@ def main(argv):
                 width=args.width,
             )
             return
-        predict, det_cfg, dec_cfg = load_artifact(Path(args.load))
+        predict, det_cfg, dec_cfg = load_artifact(
+            Path(args.load), quantized=False if args.fp else "auto"
+        )
         if args.bench:
             stream_bench(
                 predict,
@@ -443,7 +506,26 @@ def main(argv):
             Path(args.run_dir)
         )
 
-    export_artifact(variables, det_cfg, dec_cfg, Path(args.out))
+    quantize_batches = None
+    if args.quantize:
+        from __graft_entry__ import _sample_inputs as _si
+
+        quantize_batches = [
+            tuple(
+                np.asarray(a)
+                for a in _si(
+                    1, args.height, args.width, det_cfg.in_channels, seed=s
+                )
+            )
+            for s in range(4)
+        ]
+    export_artifact(
+        variables,
+        det_cfg,
+        dec_cfg,
+        Path(args.out),
+        quantize_batches=quantize_batches,
+    )
 
 
 if __name__ == "__main__":
