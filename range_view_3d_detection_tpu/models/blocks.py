@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from range_view_3d_detection_tpu.models import quantized
 from range_view_3d_detection_tpu.parallel import spatial
 
 Dtype = Any
@@ -165,17 +166,44 @@ class ConvNormAct(nn.Module):
                 x, pw_lo, pw_hi, ctx.axis, circular=ctx.circular
             )
             pw_lo = pw_hi = 0
-        y = nn.Conv(
-            self.features,
-            kernel_size=_pair(self.kernel_size),
-            strides=_pair(self.strides),
-            padding=((ph_lo, ph_hi), (pw_lo, pw_hi)),
-            use_bias=use_bias,
-            kernel_init=self.kernel_init,
-            bias_init=self.bias_init,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        # Serving-time PTQ hooks (models/quantized.py): BN-bearing blocks
+        # sow input absmax under "calib"; under "int8" a block whose scope
+        # ships an in_scale runs the int8 conv in place of the fp one.
+        qmode = quantized.mode() if self.norm and not train else None
+        if qmode == "calib":
+            self.sow(
+                "quant_stats",
+                "in_absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+        if qmode == "int8" and self.has_variable("quant", "in_scale"):
+            y = quantized.Int8Conv(
+                features=self.features,
+                kernel_size=_pair(self.kernel_size),
+                strides=_pair(self.strides),
+                padding=((ph_lo, ph_hi), (pw_lo, pw_hi)),
+                use_bias=use_bias,
+                kernel_init=self.kernel_init,
+                bias_init=self.bias_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="Conv_0",
+            )(x, self.get_variable("quant", "in_scale"))
+        else:
+            y = nn.Conv(
+                self.features,
+                kernel_size=_pair(self.kernel_size),
+                strides=_pair(self.strides),
+                padding=((ph_lo, ph_hi), (pw_lo, pw_hi)),
+                use_bias=use_bias,
+                kernel_init=self.kernel_init,
+                bias_init=self.bias_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="Conv_0",
+            )(x)
         if self.norm:
             y = nn.BatchNorm(
                 use_running_average=not train,

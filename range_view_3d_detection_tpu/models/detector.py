@@ -146,8 +146,7 @@ def strided_views(
 ) -> Dict[int, Dict[str, Array]]:
     """Strided views of the geometric inputs (detection_head.py:140-161):
     width-only column slicing, plus the RANGE partition gate on the
-    validity mask when configured. Shared by the Flax forward and the
-    int8-quantized serving path (models/quantized.py)."""
+    validity mask when configured."""
     strided: Dict[int, Dict[str, Array]] = {}
     rp = dict(cfg.targets.range_partitions)
     for stride in cfg.fpn_strides:

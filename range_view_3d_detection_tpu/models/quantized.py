@@ -1,33 +1,43 @@
-"""Post-training int8 quantization of the detection-head towers (serving).
+"""Post-training int8 quantization of the serving forward (PTQ).
 
-The flagship model is MXU-bound and >55% of its device time is the eight
-512-channel head-tower convolutions (BENCH_NOTES.md round-2/3 profiles).
-TPU v5e runs int8 matmuls at ~2x the bf16 MXU rate, and a measured probe
-(round 3) shows an int8 conv chain at this exact shape running ~1.4x
-faster than bf16 end-to-end *including* requantization epilogues. This
-module converts the DenseHead towers of a **BN-folded serving artifact**
-(``tools/export.py::fold_batch_norms``) to int8:
+The flagship model is MXU-bound: the eight 512-channel head-tower convs
+are >55% of device time and the backbone stage/aggregation convs most of
+the rest (BENCH_NOTES.md round-2/3 profiles). TPU v5e runs int8 matmuls
+at ~2x the bf16 MXU rate; measured end-to-end, int8 heads alone are
+1.30x (27.8 vs 21.3 fps/chip at flagship shapes).
 
-- weights: symmetric per-output-channel int8 (absmax / 127);
-- activations: symmetric per-tensor int8, scales calibrated by running
-  the bf16 model over a few batches and recording per-block absmax
-  (flax ``capture_intermediates``);
-- each tower block becomes ``conv_int8 -> int32`` followed by a fused
-  elementwise epilogue ``relu(acc * (s_in * s_w * s_bn) + b_bn)``
-  requantized straight to the next block's int8 scale — XLA fuses the
-  whole epilogue into the convolution;
-- the final 1x1 prediction conv stays in bf16/fp32 (it is <2% of tower
-  FLOPs and its output feeds fp32 decoding).
+Mechanism — a trace-time quantization context consulted by every
+``blocks.ConvNormAct`` (the same pattern as ``parallel/spatial.py``):
+
+- **calib**: the eval forward additionally sows each BN-bearing conv
+  block's input absmax into a ``quant_stats`` collection (reduced with
+  ``max`` across calls/batches on device — only scalars ever reach the
+  host, which matters through this image's ~25 MB/s device tunnel).
+- **int8**: a conv block whose scope carries an ``in_scale`` leaf in the
+  ``quant`` variable collection quantizes its input to symmetric
+  per-tensor int8 and its fp kernel to symmetric per-output-channel
+  int8 *in-trace* (the serving jit closes over the weights, so XLA
+  constant-folds the weight quantization), accumulates in int32, and
+  dequantizes straight into the unchanged BatchNorm+ReLU epilogue —
+  XLA fuses the whole epilogue into the convolution. Blocks with no
+  ``in_scale`` leaf (and all ``norm=False`` prediction convs) run fp.
+
+Because which convs go int8 is decided purely by which scales ship in
+the artifact's ``quant.msgpack``, "heads-only" vs "full-network"
+quantization is an export-time filter, not a code path.
 
 This is a serving-only transform: training and the parity path are
 untouched. Reference analog: none (the reference serves fp16 CUDA —
-``tools/benchmark.py:60-63``); this is TPU-native headroom beyond parity.
+``tools/benchmark.py:60-63``); this is TPU-native headroom beyond
+parity.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from contextlib import contextmanager
+from typing import Any, Dict, Optional, Sequence, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,252 +47,166 @@ Pytree = Any
 
 _INT8_MAX = 127.0
 
+_MODE: Optional[str] = None  # None | "calib" | "int8"
+
+
+def mode() -> Optional[str]:
+    """Active quantization mode (trace-time; consulted by ConvNormAct)."""
+    return _MODE
+
+
+@contextmanager
+def quantization(m: Optional[str]):
+    """Enable calibration ("calib") or int8 serving ("int8") for traces
+    performed inside the context."""
+    global _MODE
+    if m not in (None, "calib", "int8"):
+        raise ValueError(f"unknown quantization mode: {m!r}")
+    prev, _MODE = _MODE, m
+    try:
+        yield
+    finally:
+        _MODE = prev
+
+
+class Int8Conv(nn.Module):
+    """Drop-in int8 replacement for the ``nn.Conv`` inside ConvNormAct.
+
+    Declares ``kernel``/``bias`` with nn.Conv's exact names, shapes, and
+    initializers, so the parameter tree (and every checkpoint/artifact)
+    is interchangeable with the fp module — construct with
+    ``name="Conv_0"`` to land on the same scope.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    use_bias: bool
+    kernel_init: Any
+    bias_init: Any
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array, in_scale: Array) -> Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (kh, kw, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        w = kernel.astype(jnp.float32)
+        # Per-output-channel symmetric weight scales; constant-folded by
+        # XLA when the weights are jit constants (the serving path).
+        w_scale = jnp.maximum(
+            jnp.max(jnp.abs(w), axis=(0, 1, 2)) / _INT8_MAX, 1e-12
+        )
+        w_i8 = jnp.clip(
+            jnp.round(w / w_scale), -_INT8_MAX, _INT8_MAX
+        ).astype(jnp.int8)
+        # Symmetric per-tensor input quantization: 0 -> 0, so the conv's
+        # zero padding is exact in the int8 domain.
+        x_i8 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / in_scale),
+            -_INT8_MAX,
+            _INT8_MAX,
+        ).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            x_i8,
+            w_i8,
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * (in_scale * w_scale)
+        if self.use_bias:
+            bias = self.param(
+                "bias", self.bias_init, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
 
 # ---------------------------------------------------------------------------
-# Calibration
+# Calibration -> quant tree
 # ---------------------------------------------------------------------------
 
 
-def calibrate_head_scales(
+def calibrate_scales(
     model,
     variables: Pytree,
     batches: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
-) -> Dict[str, List[float]]:
-    """Per-tower, per-block activation scales from bf16 forward passes.
+) -> Dict[str, Any]:
+    """Activation scales for every quantizable conv block.
 
-    Returns ``{tower_name: [s_0, ..., s_{n_quant-1}]}`` — one scale per
-    QUANTIZED block (the ``n_total - 1`` Conv+BN+ReLU blocks; the final
-    fp prediction conv needs none): ``s_0`` covers the backbone features
-    feeding the tower and ``s_i`` (i>0) the ReLU output of block ``i-1``.
-
-    The capture forward runs inside ONE jit with on-device absmax
-    reduction: only per-block scalars cross the host boundary (eager
-    capture at flagship shapes means hundreds of dispatches and ~1 GB of
-    intermediate buffers — and through the remote-TPU tunnel of this
-    image, readback at ~25 MB/s).
+    Runs the eval forward under the "calib" context inside ONE jit per
+    batch shape; each ConvNormAct sows its input absmax (device-reduced
+    ``max``), and only those scalars are read back. Returns the ``quant``
+    variable collection: the ``quant_stats`` tree with each ``in_absmax``
+    leaf renamed to ``in_scale`` and divided by 127.
     """
-    from range_view_3d_detection_tpu.models.backbone import RangeNet
-    from range_view_3d_detection_tpu.models.blocks import ConvNormAct
 
     @jax.jit
-    def _absmax(v, feats, cart, mask):
-        _, state = model.apply(
-            v,
-            feats,
-            cart,
-            mask,
-            train=False,
-            capture_intermediates=lambda mdl, _m: isinstance(
-                mdl, (ConvNormAct, RangeNet)
-            ),
-            mutable=["intermediates"],
+    def _stats(v, feats, cart, mask):
+        with quantization("calib"):
+            _, state = model.apply(
+                v,
+                feats,
+                cart,
+                mask,
+                train=False,
+                mutable=["quant_stats"],
+            )
+        return state["quant_stats"]
+
+    acc: Optional[Dict[str, Any]] = None
+    for feats, cart, mask in batches:
+        got = jax.device_get(_stats(variables, feats, cart, mask))
+        acc = (
+            got
+            if acc is None
+            else jax.tree_util.tree_map(np.maximum, acc, got)
         )
-        inter = state["intermediates"]
-        multi = inter["RangeNet_0"]["__call__"][0]
-        feats_max = {
-            int(s): jnp.max(jnp.abs(x.astype(jnp.float32)))
-            for s, x in multi.items()
-        }
-        head = inter.get("DetectionHead_0", {})
+    if acc is None:
+        raise ValueError("calibrate_scales needs at least one batch")
+
+    def to_scales(node):
+        if not isinstance(node, dict):
+            return node
         out = {}
-        for tower_name, blocks in head.items():
-            n = len([k for k in blocks if k.startswith("ConvNormAct_")])
-            vals = [feats_max[_tower_stride(tower_name)]]
-            for i in range(n - 2):  # block i output feeds block i+1
-                o = blocks[f"ConvNormAct_{i}"]["__call__"][0]
-                vals.append(jnp.max(jnp.abs(o.astype(jnp.float32))))
-            out[tower_name] = jnp.stack(vals)
+        for k, v in node.items():
+            if k == "in_absmax":
+                m = float(np.asarray(v))
+                out["in_scale"] = np.asarray(
+                    m / _INT8_MAX if m > 0 else 1.0, np.float32
+                )
+            else:
+                out[k] = to_scales(v)
         return out
 
-    absmax: Dict[str, np.ndarray] = {}
-    for feats, cart, mask in batches:
-        res = jax.device_get(_absmax(variables, feats, cart, mask))
-        for k, v in res.items():
-            v = np.asarray(v, np.float64)
-            cur = absmax.get(k)
-            absmax[k] = v if cur is None else np.maximum(cur, v)
-    return {
-        k: [float(m) / _INT8_MAX if m > 0 else 1.0 for m in v]
-        for k, v in absmax.items()
-    }
+    return to_scales(acc)
 
 
-def _tower_stride(tower_name: str) -> int:
-    # "cls_s{stride}_t{task}" / "reg_s{stride}_t{task}"
-    return int(tower_name.split("_s")[1].split("_t")[0])
+def filter_scope(quant_tree: Dict[str, Any], scope: str) -> Dict[str, Any]:
+    """Restrict a quant tree: "full" keeps everything, "heads" keeps only
+    the DetectionHead towers (backbone/stem run fp)."""
+    if scope == "full":
+        return quant_tree
+    if scope != "heads":
+        raise ValueError(f"unknown quantization scope: {scope!r}")
 
+    def prune(node, under_head):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                sub = prune(v, under_head or k.startswith("DetectionHead"))
+                if sub:
+                    out[k] = sub
+            elif under_head:  # scale leaf: keep only inside the head
+                out[k] = v
+        return out
 
-# ---------------------------------------------------------------------------
-# Weight quantization
-# ---------------------------------------------------------------------------
-
-
-def quantize_head(
-    folded_params: Pytree, act_scales: Dict[str, List[float]]
-) -> Dict[str, Any]:
-    """int8-quantize every DenseHead tower of a BN-folded params tree.
-
-    Returns ``{tower_name: {"blocks": [...], "final": {...}, "scales": [...]}}``
-    where each tower block carries the int8 kernel, the per-output-channel
-    fused dequant multiplier, and the folded-BN bias.
-    """
-    head = folded_params["DetectionHead_0"]
-    qhead: Dict[str, Any] = {}
-    for tower_name, tower in head.items():
-        n_total = len([k for k in tower if k.startswith("ConvNormAct_")])
-        scales = act_scales[tower_name]
-        if len(scales) != n_total - 1:
-            raise ValueError(
-                f"{tower_name}: {len(scales)} activation scales for "
-                f"{n_total - 1} quantized blocks"
-            )
-        blocks = []
-        for i in range(n_total - 1):
-            blk = tower[f"ConvNormAct_{i}"]
-            w = np.asarray(blk["Conv_0"]["kernel"], np.float32)  # HWIO
-            w_scale = np.maximum(
-                np.abs(w).max(axis=(0, 1, 2)) / _INT8_MAX, 1e-12
-            )  # per cout
-            w_i8 = np.clip(
-                np.rint(w / w_scale), -_INT8_MAX, _INT8_MAX
-            ).astype(np.int8)
-            bn = blk["BatchNorm_0"]
-            bn_scale = np.asarray(bn["scale"], np.float32)
-            bn_bias = np.asarray(bn["bias"], np.float32)
-            blocks.append(
-                {
-                    "kernel_i8": w_i8,
-                    # acc_i32 * mult + bias == bf16-path conv+BN output
-                    "mult": (scales[i] * w_scale * bn_scale).astype(
-                        np.float32
-                    ),
-                    "bias": bn_bias,
-                }
-            )
-        final = tower[f"ConvNormAct_{n_total - 1}"]["Conv_0"]
-        qhead[tower_name] = {
-            "blocks": blocks,
-            "final": {
-                "kernel": np.asarray(final["kernel"], np.float32),
-                "bias": np.asarray(final["bias"], np.float32),
-            },
-            "scales": [float(s) for s in scales],
-        }
-    return qhead
-
-
-# ---------------------------------------------------------------------------
-# Quantized forward
-# ---------------------------------------------------------------------------
-
-
-def _conv(x: Array, w: Array, accum_dtype=None) -> Array:
-    """Stride-1 conv with the model's torch-style fixed (k-1)//2 padding."""
-    kh, kw = w.shape[0], w.shape[1]
-    pad = (
-        ((kh - 1) // 2, (kh - 1) - (kh - 1) // 2),
-        ((kw - 1) // 2, (kw - 1) - (kw - 1) // 2),
-    )
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
-    )
-    kwargs = {}
-    if accum_dtype is not None:
-        kwargs["preferred_element_type"] = accum_dtype
-    return jax.lax.conv_general_dilated(
-        x, w, (1, 1), pad, dimension_numbers=dn, **kwargs
-    )
-
-
-def quantized_tower_apply(qtower: Dict[str, Any], feats: Array) -> Array:
-    """int8 tower forward; numerically tracks the bf16 DenseHead path."""
-    scales = qtower["scales"]
-    x = jnp.clip(
-        jnp.round(feats.astype(jnp.float32) / scales[0]), -_INT8_MAX, _INT8_MAX
-    ).astype(jnp.int8)
-    for i, blk in enumerate(qtower["blocks"]):
-        acc = _conv(x, blk["kernel_i8"], accum_dtype=jnp.int32)
-        y = acc.astype(jnp.float32) * blk["mult"] + blk["bias"]
-        y = jax.nn.relu(y)
-        if i + 1 < len(scales):
-            # requantize straight to the next block's input scale
-            x = jnp.clip(
-                jnp.round(y / scales[i + 1]), -_INT8_MAX, _INT8_MAX
-            ).astype(jnp.int8)
-        else:
-            x = y  # feeds the fp final conv
-    final = qtower["final"]
-    out = _conv(x.astype(jnp.bfloat16), final["kernel"].astype(jnp.bfloat16))
-    return out.astype(jnp.float32) + final["bias"]
-
-
-def quantized_head_apply(
-    qhead: Dict[str, Any],
-    multiscale: Dict[int, Array],
-    tasks: Dict[int, Sequence[str]],
-) -> Dict[int, Dict[int, Dict[str, Array]]]:
-    """DetectionHead-forward clone over int8 towers.
-
-    Output structure matches ``models/heads.py::DetectionHead.__call__``:
-    ``{stride: {task_id: {"logits", "regressands"}}}``.
-    """
-    out: Dict[int, Dict[int, Dict[str, Array]]] = {}
-    strides = sorted({_tower_stride(n) for n in qhead})
-    for stride in strides:
-        out[stride] = {}
-        for task_id in tasks:
-            task_id = int(task_id)
-            out[stride][task_id] = {
-                "logits": quantized_tower_apply(
-                    qhead[f"cls_s{stride}_t{task_id}"], multiscale[stride]
-                ),
-                "regressands": quantized_tower_apply(
-                    qhead[f"reg_s{stride}_t{task_id}"], multiscale[stride]
-                ),
-            }
-    return out
-
-
-# ---------------------------------------------------------------------------
-# End-to-end serving predict
-# ---------------------------------------------------------------------------
-
-
-def make_quantized_forward(variables: Pytree, qhead: Dict[str, Any], det_cfg):
-    """Forward fn: bf16 RangeNet backbone + int8 head towers.
-
-    Returns the same ``{"head", "strided"}`` structure as
-    ``Detector.__call__`` so the standard decoder applies unchanged.
-    The backbone runs from the artifact's ``RangeNet_0`` subtree (module
-    names are deterministic in the flax tree).
-    """
-    from range_view_3d_detection_tpu.models.backbone import RangeNet
-    from range_view_3d_detection_tpu.models.detector import strided_views
-
-    backbone = RangeNet(
-        layers=det_cfg.layers,
-        stem_type=det_cfg.stem_type,
-        num_neighbors=det_cfg.num_neighbors,
-        num_layers=det_cfg.num_stem_layers,
-        projection_kernel_size=det_cfg.projection_kernel_size,
-        remat=det_cfg.remat,
-        stem_pallas=det_cfg.stem_pallas,
-        dtype=det_cfg.compute_dtype,
-        param_dtype=jnp.float32,
-    )
-    bb_vars = {
-        "params": variables["params"]["RangeNet_0"],
-        "batch_stats": variables.get("batch_stats", {}).get("RangeNet_0", {}),
-    }
-    tasks = det_cfg.tasks_dict
-
-    def forward(feats: Array, cart: Array, mask: Array):
-        maskf = mask[..., None].astype(jnp.float32)
-        multiscale = backbone.apply(bb_vars, feats, cart, maskf, train=False)
-        head_out = quantized_head_apply(qhead, multiscale, tasks)
-        return {
-            "head": head_out,
-            "strided": strided_views(cart, mask, det_cfg),
-        }
-
-    return forward
+    return prune(quant_tree, False)

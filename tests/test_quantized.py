@@ -1,5 +1,6 @@
-"""int8 PTQ head tests: exactness on grid-aligned inputs, closeness on
-random inputs, and artifact roundtrip through the quantized serving path.
+"""int8 PTQ serving tests: Int8Conv exactness on grid-aligned inputs,
+full-network closeness to the fp path, scope filtering, and artifact
+roundtrip through the quantized serving path.
 
 The quantized path is serving-only, beyond reference capability (the
 reference serves fp16 CUDA — ``tools/benchmark.py:60-63``); these tests
@@ -33,104 +34,129 @@ def _folded_model(seed=0):
     return cfg, model, fold_batch_norms(jax.device_get(variables))
 
 
-def test_quantized_tower_exact_on_grid_inputs():
+def test_int8_conv_exact_on_grid_inputs():
     """With weights already on the int8 grid and inputs already on the
     activation-scale grid, quantization introduces ZERO rounding error:
-    the int8 tower must match an fp tower bit-for-bit (up to fp32
-    accumulation order)."""
-    from range_view_3d_detection_tpu.models.quantized import (
-        quantized_tower_apply,
-    )
+    Int8Conv must match the fp convolution bit-for-bit (int32
+    accumulation is exact for these magnitudes)."""
+    import flax.linen as nn
+
+    from range_view_3d_detection_tpu.models.quantized import Int8Conv
 
     rng = np.random.default_rng(0)
     cin, cout = 8, 8
     s_in = 0.25
-    w_int = rng.integers(-50, 50, size=(3, 3, cin, cout))
-    w_scale = np.full((cout,), 0.5, np.float32)
-    feats = (rng.integers(-100, 100, size=(1, 4, 8, cin)) * s_in).astype(
+    # Integer weights with per-cout absmax pinned to exactly 127: the
+    # per-cout scale becomes absmax/127 = s_w, and w / w_scale rounds
+    # back to the integers exactly.
+    w_int = rng.integers(-127, 128, size=(3, 3, cin, cout)).astype(
         np.float32
     )
-    bn_scale = rng.normal(size=cout).astype(np.float32) * 0.1 + 1.0
-    bn_bias = rng.normal(size=cout).astype(np.float32) * 0.1
-    final_k = rng.normal(size=(1, 1, cout, 2)).astype(np.float32) * 0.1
-    final_b = np.zeros(2, np.float32)
+    w_int[0, 0, 0, :] = 127.0
+    s_w = 0.01
+    w = (w_int * s_w).astype(np.float32)
+    x = (rng.integers(-100, 100, size=(1, 4, 8, cin)) * s_in).astype(
+        np.float32
+    )
 
-    qtower = {
-        "blocks": [
-            {
-                "kernel_i8": w_int.astype(np.int8),
-                "mult": (s_in * w_scale * bn_scale).astype(np.float32),
-                "bias": bn_bias,
-            }
-        ],
-        "final": {"kernel": final_k, "bias": final_b},
-        "scales": [s_in],
-    }
-    got = np.asarray(quantized_tower_apply(qtower, jnp.asarray(feats)))
+    conv = Int8Conv(
+        features=cout,
+        kernel_size=(3, 3),
+        strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        use_bias=False,
+        kernel_init=nn.initializers.zeros,
+        bias_init=nn.initializers.zeros,
+        dtype=jnp.float32,
+        param_dtype=jnp.float32,
+    )
+    got = np.asarray(
+        conv.apply({"params": {"kernel": w}}, jnp.asarray(x), jnp.float32(s_in))
+    )
 
-    # fp reference with the SAME torch-style padding
-    w_fp = w_int.astype(np.float32) * w_scale
     dn = jax.lax.conv_dimension_numbers(
-        feats.shape, w_fp.shape, ("NHWC", "HWIO", "NHWC")
+        x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
     )
-    y = jax.lax.conv_general_dilated(
-        jnp.asarray(feats), jnp.asarray(w_fp), (1, 1),
-        ((1, 1), (1, 1)), dimension_numbers=dn,
-    )
-    y = jax.nn.relu(y * bn_scale + bn_bias)
     want = np.asarray(
         jax.lax.conv_general_dilated(
-            y.astype(jnp.bfloat16),
-            jnp.asarray(final_k, jnp.bfloat16),
-            (1, 1),
-            ((0, 0), (0, 0)),
-            dimension_numbers=jax.lax.conv_dimension_numbers(
-                y.shape, final_k.shape, ("NHWC", "HWIO", "NHWC")
-            ),
-        ).astype(jnp.float32)
-        + final_b
+            jnp.asarray(x), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn,
+        )
     )
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_quantized_head_close_to_fp():
-    """PTQ int8 towers track the fp head within a small relative error on
-    random inputs (per-channel weights + calibrated activation scales)."""
+def test_calibrate_and_full_int8_close_to_fp():
+    """Calibrated full-network int8 tracks the fp forward within a small
+    relative error on random inputs, and the calib sow covers every
+    BN-bearing conv block (backbone + stem fusion + head towers)."""
     from range_view_3d_detection_tpu.models.quantized import (
-        calibrate_head_scales,
-        make_quantized_forward,
-        quantize_head,
+        calibrate_scales,
+        quantization,
     )
 
     cfg, model, folded = _folded_model()
     batches = [_inputs(seed=s) for s in range(2)]
-    scales = calibrate_head_scales(model, folded, batches)
-    assert set(scales) == {"cls_s1_t0", "reg_s1_t0"}
-    # num_blocks=1 => one quantized block per tower => one scale each
-    assert all(len(v) == 1 for v in scales.values())
+    qtree = calibrate_scales(model, folded, batches)
 
-    qhead = quantize_head(folded["params"], scales)
-    forward = make_quantized_forward(folded, qhead, cfg)
+    # Scales exist for the head towers AND the backbone.
+    flat = jax.tree_util.tree_leaves_with_path(qtree)
+    paths = ["/".join(str(p) for p in kp) for kp, _ in flat]
+    assert any("DetectionHead" in p for p in paths)
+    assert any("RangeNet" in p for p in paths)
+    assert all(np.asarray(v) > 0 for _, v in flat)
 
     f, c, m = _inputs(seed=9)
-    got = forward(f, c, m)
     want = model.apply(folded, f, c, m, train=False)
+    with quantization("int8"):
+        got = model.apply({**folded, "quant": qtree}, f, c, m, train=False)
 
     for key in ("logits", "regressands"):
         a = np.asarray(got["head"][1][0][key])
         b = np.asarray(want["head"][1][0][key])
         rms = np.sqrt(np.mean((a - b) ** 2))
         ref = np.sqrt(np.mean(b**2)) + 1e-9
-        assert rms / ref < 0.05, (key, rms, ref)
-    # strided views are shared code — identical
+        assert rms / ref < 0.10, (key, rms, ref)
     np.testing.assert_array_equal(
         np.asarray(got["strided"][1]["mask"]),
         np.asarray(want["strided"][1]["mask"]),
     )
 
 
+def test_scope_filter_heads_only():
+    """filter_scope("heads") drops every backbone scale; the int8 apply
+    then quantizes only the towers (backbone output must be bitwise
+    identical to fp, so logits differ from fp only through the tower)."""
+    from range_view_3d_detection_tpu.models.quantized import (
+        calibrate_scales,
+        filter_scope,
+        quantization,
+    )
+
+    cfg, model, folded = _folded_model()
+    qtree = calibrate_scales(model, folded, [_inputs(seed=0)])
+    heads_only = filter_scope(qtree, "heads")
+
+    flat = jax.tree_util.tree_leaves_with_path(heads_only)
+    paths = ["/".join(str(p) for p in kp) for kp, _ in flat]
+    assert paths and all("DetectionHead" in p for p in paths)
+
+    f, c, m = _inputs(seed=3)
+    want = model.apply(folded, f, c, m, train=False)
+    with quantization("int8"):
+        got = model.apply(
+            {**folded, "quant": heads_only}, f, c, m, train=False
+        )
+    for key in ("logits", "regressands"):
+        a = np.asarray(got["head"][1][0][key])
+        b = np.asarray(want["head"][1][0][key])
+        rms = np.sqrt(np.mean((a - b) ** 2))
+        ref = np.sqrt(np.mean(b**2)) + 1e-9
+        assert rms / ref < 0.05, (key, rms, ref)
+
+
 def test_quantized_artifact_roundtrip(tmp_path):
-    """--quantize export ships qhead.msgpack; loading takes the int8 path
+    """--quantize export ships quant.msgpack; loading takes the int8 path
     by default and its decoded detections track the fp path."""
     from export import export_artifact, load_artifact
 
@@ -147,7 +173,7 @@ def test_quantized_artifact_roundtrip(tmp_path):
         art,
         quantize_batches=[_inputs(seed=s) for s in range(2)],
     )
-    assert (art / "qhead.msgpack").exists()
+    assert (art / "quant.msgpack").exists()
 
     predict_q, _, _ = load_artifact(art)  # auto -> int8
     predict_fp, _, _ = load_artifact(art, quantized=False)
@@ -157,15 +183,15 @@ def test_quantized_artifact_roundtrip(tmp_path):
 
     sq, sf = np.asarray(q.scores), np.asarray(fp.scores)
     # scores are sigmoid outputs in [0, 1]; PTQ shifts them only slightly
-    assert np.max(np.abs(sq - sf)) < 0.05
+    assert np.max(np.abs(sq - sf)) < 0.08
     # the kept set and box geometry agree on confident detections
     kq, kf = np.asarray(q.keep), np.asarray(fp.keep)
     agree = (kq == kf).mean()
-    assert agree > 0.95, agree
+    assert agree > 0.9, agree
     both = kq & kf
     if both.any():
         np.testing.assert_allclose(
             np.asarray(q.cuboids)[both],
             np.asarray(fp.cuboids)[both],
-            atol=0.3,
+            atol=0.5,
         )

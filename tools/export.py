@@ -148,13 +148,15 @@ def export_artifact(
     out_dir: Path,
     *,
     quantize_batches=None,
+    quantize_scope: str = "full",
 ) -> None:
-    """Write the serving artifact; optionally add int8-quantized heads.
+    """Write the serving artifact; optionally add int8 PTQ scales.
 
     ``quantize_batches``: calibration batches ``[(feats, cart, mask), ...]``
-    — when given, the BN-folded DenseHead towers are PTQ-quantized to
-    symmetric int8 (models/quantized.py) and shipped alongside the fp
-    variables as ``qhead.msgpack``; loading then defaults to the int8 path.
+    — when given, per-block activation scales are calibrated on the
+    BN-folded model (models/quantized.py) and shipped as ``quant.msgpack``;
+    loading then defaults to the int8 serving path. ``quantize_scope``:
+    "full" (backbone + heads) or "heads" (towers only).
     """
     import flax.serialization
 
@@ -169,15 +171,17 @@ def export_artifact(
     if quantize_batches is not None:
         from range_view_3d_detection_tpu.models.detector import Detector
         from range_view_3d_detection_tpu.models.quantized import (
-            calibrate_head_scales,
-            quantize_head,
+            calibrate_scales,
+            filter_scope,
         )
 
         model = Detector(det_cfg)
-        scales = calibrate_head_scales(model, folded, quantize_batches)
-        qhead = quantize_head(folded["params"], scales)
-        (out_dir / "qhead.msgpack").write_bytes(
-            flax.serialization.msgpack_serialize(qhead)
+        qtree = filter_scope(
+            calibrate_scales(model, folded, quantize_batches),
+            quantize_scope,
+        )
+        (out_dir / "quant.msgpack").write_bytes(
+            flax.serialization.msgpack_serialize(qtree)
         )
     print(f"artifact written to {out_dir}")
 
@@ -185,13 +189,14 @@ def export_artifact(
 def load_artifact(art_dir: Path, *, use_nms: bool = True, quantized="auto"):
     """Rebuild a jitted end-to-end predict fn from an artifact dir.
 
-    ``quantized``: "auto" takes the int8 head path iff the artifact ships
-    ``qhead.msgpack``; True requires it; False forces the fp path.
+    ``quantized``: "auto" takes the int8 path iff the artifact ships
+    ``quant.msgpack``; True requires it; False forces the fp path.
     """
     import flax.serialization
 
     from range_view_3d_detection_tpu.models.decoder import decode
     from range_view_3d_detection_tpu.models.detector import Detector
+    from range_view_3d_detection_tpu.models.quantized import quantization
 
     art_dir = Path(art_dir)
     meta = json.loads((art_dir / "meta.json").read_text())
@@ -202,19 +207,20 @@ def load_artifact(art_dir: Path, *, use_nms: bool = True, quantized="auto"):
     variables = flax.serialization.msgpack_restore(
         (art_dir / "variables.msgpack").read_bytes()
     )
-    qhead_path = art_dir / "qhead.msgpack"
-    use_q = qhead_path.exists() if quantized == "auto" else bool(quantized)
+    quant_path = art_dir / "quant.msgpack"
+    use_q = quant_path.exists() if quantized == "auto" else bool(quantized)
     if use_q:
-        from range_view_3d_detection_tpu.models.quantized import (
-            make_quantized_forward,
-        )
-
-        qhead = flax.serialization.msgpack_restore(qhead_path.read_bytes())
-        forward = make_quantized_forward(variables, qhead, det_cfg)
+        qtree = flax.serialization.msgpack_restore(quant_path.read_bytes())
+        model = Detector(det_cfg)
+        vars_q = dict(variables)
+        vars_q["quant"] = qtree
 
         @jax.jit
         def predict(feats, cart, mask):
-            out = forward(feats, cart, mask)
+            # The context gates tracing: each BN-bearing conv block whose
+            # scope ships an in_scale runs the int8 path.
+            with quantization("int8"):
+                out = model.apply(vars_q, feats, cart, mask, train=False)
             return decode(out, dec_cfg, tasks, use_nms=use_nms)
 
         return predict, det_cfg, dec_cfg
@@ -448,16 +454,20 @@ def main(argv):
     )
     ap.add_argument(
         "--quantize",
-        action="store_true",
-        help="PTQ the head towers to int8 at export (calibrated on "
-        "synthetic batches at the export shapes); loading such an "
-        "artifact takes the int8 path unless --fp",
+        nargs="?",
+        const="full",
+        default=None,
+        choices=("full", "heads"),
+        help="PTQ the serving forward to int8 at export (calibrated on "
+        "synthetic batches at the export shapes): 'full' quantizes the "
+        "backbone + head towers, 'heads' only the towers; loading such "
+        "an artifact takes the int8 path unless --fp",
     )
     ap.add_argument(
         "--fp",
         action="store_true",
-        help="force the fp (bf16) head path when loading an artifact "
-        "that ships int8 heads",
+        help="force the fp (bf16) path when loading an artifact that "
+        "ships int8 scales",
     )
     args = ap.parse_args(argv)
 
@@ -525,6 +535,7 @@ def main(argv):
         dec_cfg,
         Path(args.out),
         quantize_batches=quantize_batches,
+        quantize_scope=args.quantize or "full",
     )
 
 

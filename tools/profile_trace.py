@@ -73,6 +73,15 @@ def main():
     # ((1800 + 2*28) / 4, data/dataset.py::width_padding).
     ap.add_argument("--width", type=int, default=1808)
     ap.add_argument("--decode", action="store_true", help="trace decode+NMS too")
+    ap.add_argument(
+        "--quantized",
+        nargs="?",
+        const="full",
+        default=None,
+        choices=("full", "heads"),
+        help="profile the int8 PTQ serving path (models/quantized.py): "
+        "calibrate on one synthetic batch, then trace the int8 forward",
+    )
     args = ap.parse_args()
 
     if not args.summarize_only:
@@ -87,11 +96,34 @@ def main():
         model = Detector(cfg)
         f, c, m = _sample_inputs(args.batch, args.height, args.width, 5)
         variables = model.init(jax.random.PRNGKey(0), f, c, m, train=False)
+        if args.quantized:
+            from range_view_3d_detection_tpu.models.quantized import (
+                calibrate_scales,
+                filter_scope,
+                quantization,
+            )
+
+            qtree = filter_scope(
+                calibrate_scales(model, variables, [(f, c, m)]),
+                args.quantized,
+            )
+            vars_q = dict(variables)
+            vars_q["quant"] = qtree
+            variables = vars_q
+            _apply = model.apply
+
+            def _q_apply(v, a, b, d, **kw):
+                with quantization("int8"):
+                    return _apply(v, a, b, d, **kw)
+
+            apply_fn = _q_apply
+        else:
+            apply_fn = model.apply
         if args.decode:
             dec = DecoderConfig(nms_cap=1024)
             fwd = jax.jit(
                 lambda v, a, b, d: decode(
-                    model.apply(v, a, b, d, train=False),
+                    apply_fn(v, a, b, d, train=False),
                     dec,
                     cfg.tasks_dict,
                     use_nms=True,
@@ -99,7 +131,7 @@ def main():
             )
         else:
             fwd = jax.jit(
-                lambda v, a, b, d: model.apply(v, a, b, d, train=False)
+                lambda v, a, b, d: apply_fn(v, a, b, d, train=False)
             )
         out = fwd(variables, f, c, m)
         float(jax.tree_util.tree_leaves(out)[0].sum())
