@@ -61,6 +61,17 @@ def summarize(trace_dir: str, top: int = 30) -> None:
     )
     for name, dur in agg.most_common(top):
         print(f"  {dur/1e3:8.2f} ms  {name}")
+    # Grouped view: where does the long tail go? Strip trailing .N ids
+    # and digits so fusion.123 / copy.4 / dynamic-slice.7 bucket together.
+    groups = collections.Counter()
+    counts = collections.Counter()
+    for name, dur in agg.items():
+        base = name.split(".")[0].rstrip("0123456789_")
+        groups[base] += dur
+        counts[base] += 1
+    print("by op class:")
+    for base, dur in groups.most_common(15):
+        print(f"  {dur/1e3:8.2f} ms  {counts[base]:5d} ops  {base}")
 
 
 def main():
