@@ -76,6 +76,58 @@ class TorchConvTranspose(nn.Module):
         )
         ctx = spatial.context()
         x = x.astype(self.dtype)
+        # Serving-time PTQ hooks (models/quantized.py), mirroring
+        # ConvNormAct: the aggregation upsamples feed a BatchNorm, so
+        # they quantize the same way; lhs_dilation inserts zeros, which
+        # symmetric int8 represents exactly.
+        qmode = quantized.mode()
+        if qmode == "calib":
+            self.sow(
+                "quant_stats",
+                "in_absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+        in_scale = (
+            self.get_variable("quant", "in_scale")
+            if qmode == "int8" and self.has_variable("quant", "in_scale")
+            else None
+        )
+
+        def deconv(xin: Array, pad_hw) -> Array:
+            if in_scale is not None:
+                w = kernel.astype(jnp.float32)
+                w_scale = jnp.maximum(
+                    jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-12
+                )
+                w_i8 = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(
+                    jnp.int8
+                )
+                x_i8 = jnp.clip(
+                    jnp.round(xin.astype(jnp.float32) / in_scale), -127, 127
+                ).astype(jnp.int8)
+                acc = jax.lax.conv_general_dilated(
+                    x_i8,
+                    w_i8,
+                    window_strides=(1, 1),
+                    padding=pad_hw,
+                    lhs_dilation=(sh, sw),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                return (
+                    acc.astype(jnp.float32) * (in_scale * w_scale)
+                ).astype(self.dtype)
+            return jax.lax.conv_general_dilated(
+                xin,
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=pad_hw,
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
         if ctx is not None and sw > 1:
             # Width-sharded transposed conv: fetch the columns this
             # kernel's footprint reads across the shard boundary, run the
@@ -87,16 +139,12 @@ class TorchConvTranspose(nn.Module):
             x = spatial.exchange_halo_lr(
                 x, halo_l, halo_r, ctx.axis, circular=ctx.circular
             )
-            y = jax.lax.conv_general_dilated(
+            y = deconv(
                 x,
-                kernel.astype(self.dtype),
-                window_strides=(1, 1),
-                padding=(
+                (
                     (kh - 1 - ph, kh - 1 - ph),
                     (kw - 1 - pw, kw - 1 - pw),
                 ),
-                lhs_dilation=(sh, sw),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             y = jax.lax.slice_in_dim(
                 y, halo_l * sw, halo_l * sw + Wl * sw, axis=2
@@ -110,13 +158,8 @@ class TorchConvTranspose(nn.Module):
                 )
                 y = y + bias.astype(self.dtype)
             return y
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        y = deconv(
+            x, ((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw))
         )
         if self.use_bias:
             bias = self.param(

@@ -7,7 +7,8 @@ at ~2x the bf16 MXU rate; measured end-to-end, int8 heads alone are
 1.30x (27.8 vs 21.3 fps/chip at flagship shapes).
 
 Mechanism — a trace-time quantization context consulted by every
-``blocks.ConvNormAct`` (the same pattern as ``parallel/spatial.py``):
+``blocks.ConvNormAct`` and ``blocks.TorchConvTranspose`` (the same
+pattern as ``parallel/spatial.py``):
 
 - **calib**: the eval forward additionally sows each BN-bearing conv
   block's input absmax into a ``quant_stats`` collection (reduced with

@@ -104,6 +104,8 @@ def test_calibrate_and_full_int8_close_to_fp():
     paths = ["/".join(str(p) for p in kp) for kp, _ in flat]
     assert any("DetectionHead" in p for p in paths)
     assert any("RangeNet" in p for p in paths)
+    # aggregation upsample deconvs are quantized too
+    assert any("TorchConvTranspose" in p for p in paths)
     assert all(np.asarray(v) > 0 for _, v in flat)
 
     f, c, m = _inputs(seed=9)
