@@ -113,7 +113,87 @@ def bench_loader(argv):
     return report
 
 
+def bench_train(argv):
+    """Training-step throughput at flagship shapes on the local chip.
+
+    The reference's training perf surface is the 4xA40 recipe
+    (``scripts/train.sh``: 4 GPUs x batch 4, bf16-mixed); this measures
+    the TPU analog — the full jitted train step (targets + forward +
+    loss + backward + AdamW/OneCycle update, donated state) on
+    device-resident batches, host-readback walls. Reports steps/s and
+    frames/s/chip; multiply by the data-mesh size for cluster
+    throughput (the step is SPMD — see parallel/mesh.py).
+    """
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _dryrun_batch, _flagship_config
+    from range_view_3d_detection_tpu.training import optim
+    from range_view_3d_detection_tpu.training import state as state_lib
+
+    batch = int(next((a.split("=")[1] for a in argv if a.startswith("--batch=")), 2))
+    height = int(next((a.split("=")[1] for a in argv if a.startswith("--height=")), 64))
+    width = int(next((a.split("=")[1] for a in argv if a.startswith("--width=")), 1808))
+    iters = int(next((a.split("=")[1] for a in argv if a.startswith("--iters=")), 12))
+    # Flagship batch>=2 training needs loss-region + per-stage remat on
+    # the 16 GB v5e (BENCH_NOTES "loss-region remat"); override with
+    # --remat=0/1.
+    remat_default = "1" if batch >= 2 else "0"
+    remat = (
+        next(
+            (a.split("=")[1] for a in argv if a.startswith("--remat=")),
+            remat_default,
+        )
+        == "1"
+    )
+
+    import dataclasses
+
+    cfg = _flagship_config()
+    cfg = dataclasses.replace(cfg, remat=remat)
+    host_batch = _dryrun_batch(cfg, batch, height, width, 5)
+    # Device-resident inputs: through the remote tunnel H2D is ~25 MB/s,
+    # so per-step host batches would measure the transport, not the step.
+    device_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    tx, _ = optim.make_optimizer(
+        7.5e-4,
+        total_steps=1000,
+        num_devices=jax.device_count(),
+        batch_size=batch,
+        use_linear_lr_scaling=True,
+    )
+    state = state_lib.create_state(
+        jax.random.PRNGKey(0), cfg, tx, device_batch
+    )
+    train_step = state_lib.make_train_step(cfg, tx)
+
+    for _ in range(3):  # compile + warm (donated state: rebind each call)
+        state, metrics = train_step(state, device_batch)
+    _sync(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, device_batch)
+    _sync(metrics)
+    dt = time.perf_counter() - t0
+
+    report = {
+        "train_step_ms": round(dt / iters * 1e3, 2),
+        "steps_per_sec": round(iters / dt, 3),
+        "train_frames_per_sec_per_chip": round(batch * iters / dt, 2),
+        "batch": batch,
+        "shape": [height, width],
+        "remat": bool(cfg.remat),
+        "iters": iters,
+    }
+    print(json.dumps(report, indent=2))
+    return report
+
+
 def main(argv):
+    if "--train" in argv:
+        bench_train(argv)
+        return
     if "--loader" in argv:
         bench_loader(argv)
         return
