@@ -47,6 +47,23 @@ def test_compose_rv_waymo():
     assert names[0] == "elongation" and len(names) == 6
 
 
+def test_compose_rv_nuscenes():
+    cfg = compose(CONF, "rv-nuscenes")
+    assert cfg["name"] == "rv-nuscenes"
+    assert cfg["dataset"]["dataset_name"] == "nuscenes"
+    rv = cfg["dataset"]["_train_dataset"]["range_view_config"]
+    assert rv["height"] == 32 and rv["width"] == 1800
+    assert rv["filter_roi"] is False
+    assert len(cfg["model"]["tasks"][0]) == 10
+    det = builders.build_detector_config(cfg)
+    assert det.stem_type == "META"
+    assert det.layers == (128, 128, 128, 128, 128)
+    from range_view_3d_detection_tpu.evaluation import detection_cfg_factory
+
+    eval_cfg = detection_cfg_factory(cfg["dataset"]["dataset_name"])
+    assert eval_cfg.max_range_m == 55.0
+
+
 def test_compose_overrides():
     cfg = compose(CONF, "rv-av2", ["++model.batch_size=2", "trainer.max_epochs=1"])
     assert cfg["model"]["batch_size"] == 2

@@ -241,3 +241,54 @@ def test_nuscenes_converter_end_to_end(tmp_path):
 
     poses = read_feather(log / "city_SE3_egovehicle.feather")
     np.testing.assert_allclose(sorted(poses["tx_m"]), [0.0, 10.0])
+
+
+@pytest.mark.slow
+def test_rv_nuscenes_train_smoke(tmp_path):
+    """rv-nuscenes composes and trains end-to-end on the converted fixture.
+
+    Debug-overfit semantics (reference scripts/debug-overfit.sh): val split
+    pinned to train. Proves the nuScenes surface is a full pipeline here,
+    not config-only as in the reference (conf/dataset/nuscenes.yaml).
+    """
+    src = tmp_path / "nusc"
+    version = _write_mini_nuscenes(src)
+    dst = tmp_path / "out"
+    export_dataset(str(src), str(dst), version=version, height=32, width=360)
+
+    from range_view_3d_detection_tpu.training.loop import Trainer
+    from range_view_3d_detection_tpu.utils.config import compose
+
+    repo = Path(__file__).resolve().parent.parent
+    cfg = compose(
+        repo / "conf",
+        "rv-nuscenes",
+        [
+            f"dataset.root_dir={dst}",
+            "dataset._val_dataset.split_name=train",
+            "dataset._train_dataset.range_view_config.height=32",
+            "dataset._train_dataset.range_view_config.width=360",
+            "model.batch_size=2",
+            "model.max_boxes=16",
+            "model._backbone.layers=[8,8,8,8,8]",
+            "model._backbone.stem_pallas=false",
+            "model._head.fpn={1: 16}",
+            "model._head.classification_head_channels=8",
+            "model._head.regression_head_channels=8",
+            "model._head.num_classification_blocks=1",
+            "model._head.num_regression_blocks=1",
+            "model.post_processing_config.nms_cap=128",
+            "model.post_processing_config.min_confidence=0.01",
+            "trainer.max_epochs=1",
+            "trainer.devices=1",
+            f"run_dir={tmp_path}/run",
+        ],
+    )
+    trainer = Trainer(cfg)
+    assert len(trainer.train_ds) == 2
+    state = trainer.fit()
+    assert state is not None
+
+    pred_dir = trainer.validate()
+    shards = list(Path(pred_dir).glob("*.feather"))
+    assert len(shards) == 2
