@@ -500,9 +500,19 @@ class DataLoader:
         self.process_count = process_count
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.process_count
+        n_total = len(self.dataset)
+        if n_total == 0:
+            return 0
+        # Per-process shard size after the wrap padding in _batch_indices.
+        n = -(-n_total // self.process_count)
         if self.drop_last:
-            return n // self.batch_size
+            # Never 0 batches for a non-empty dataset: datasets smaller
+            # than one batch wrap-pad to a single full batch (see
+            # _batch_indices) — the static-shape analog of the reference
+            # loader emitting one partial batch (drop_last=False there),
+            # which is exactly the debug-overfit regime
+            # (scripts/debug-overfit.sh: ~1 sweep, batch 2).
+            return max(n // self.batch_size, 1)
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batch_indices(self) -> List[np.ndarray]:
@@ -526,13 +536,20 @@ class DataLoader:
                     [order, order[: self.process_count - rem]]
                 )
             order = order[self.process_index :: self.process_count]
+        if self.drop_last and 0 < len(order) < self.batch_size:
+            # Fewer sweeps than one static-shape batch: wrap-pad to ONE
+            # full batch instead of yielding zero batches (see __len__).
+            order = np.resize(order, self.batch_size)
         batches = []
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             if len(idx) < self.batch_size:
                 if self.drop_last:
                     break
-                idx = np.concatenate([idx, order[: self.batch_size - len(idx)]])
+                # np.resize wraps as many times as needed (a dataset much
+                # smaller than the batch needs more than one pass).
+                pad = np.resize(order, self.batch_size - len(idx))
+                idx = np.concatenate([idx, pad])
             batches.append(idx)
         return batches
 

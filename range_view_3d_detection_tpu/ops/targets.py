@@ -91,6 +91,7 @@ def compute_targets_single(
     fpn_assignment_method: str | None = None,
     range_partition: Tuple[float, float] = (0.0, float("inf")),
     point_interval: Tuple[float, float] = (0.0, float("inf")),
+    inside_full: Array | None = None,
 ) -> StrideTargets:
     """Targets for one batch element at one (stride, task).
 
@@ -107,11 +108,17 @@ def compute_targets_single(
         fpn_assignment_method: ``None`` | ``"RANGE"`` | ``"POINTS"``.
         range_partition: (lower, upper] box-center range gate for RANGE.
         point_interval: (lower, upper] full-res interior count gate for POINTS.
+        inside_full: optional precomputed ``(K, H, W)`` interior mask
+            (already ANDed with ``pixel_valid``); the mask is identical
+            across (stride, task) pairs, so ``compute_targets`` hoists it
+            out of the per-pair loop instead of recomputing the K x H x W
+            point-in-box test every time.
     """
     K = boxes.shape[0]
 
-    inside_full = interior_mask(cart, boxes, box_valid)  # (K, H, W)
-    inside_full = inside_full & pixel_valid[None]
+    if inside_full is None:
+        inside_full = interior_mask(cart, boxes, box_valid)  # (K, H, W)
+        inside_full = inside_full & pixel_valid[None]
     full_counts = inside_full.sum(axis=(1, 2))  # (K,)
 
     # Width-only striding of image tensors (detection_head.py:140-155).
@@ -193,17 +200,24 @@ def compute_targets(
     range_partitions = range_partitions or {}
     point_intervals = point_intervals or {}
 
+    # Hoist the (B, K, H, W) interior mask out of the (stride, task) loop:
+    # it depends only on the batch, and the point-in-box test is the
+    # expensive part of target generation.
+    inside_full = jax.vmap(interior_mask)(cart, boxes, box_valid)
+    inside_full = inside_full & pixel_valid[:, None]
+
     out: Dict[int, Dict[int, StrideTargets]] = {}
     for stride in fpn_strides:
         out[int(stride)] = {}
         for task_id, cats in tasks.items():
-            fn = lambda c, pv, b, bv, bt, bo: compute_targets_single(  # noqa: E731
+            fn = lambda c, pv, b, bv, bt, bo, ins: compute_targets_single(  # noqa: E731
                 c,
                 pv,
                 b,
                 bv,
                 bt,
                 bo,
+                inside_full=ins,
                 task_id=int(task_id),
                 num_categories=len(cats),
                 stride=int(stride),
@@ -217,6 +231,12 @@ def compute_targets(
                 ),
             )
             out[int(stride)][int(task_id)] = jax.vmap(fn)(
-                cart, pixel_valid, boxes, box_valid, box_task, box_offset
+                cart,
+                pixel_valid,
+                boxes,
+                box_valid,
+                box_task,
+                box_offset,
+                inside_full,
             )
     return out

@@ -205,3 +205,30 @@ def test_every_experiment_composes_and_builds():
         if name in ("rv-av2", "rv-waymo", "rv-av2-fast"):
             assert det.stem_type == "META", name
             assert det.stem_pallas, name
+
+
+def test_loader_smaller_than_batch_wraps():
+    """A non-empty train set smaller than one batch yields ONE wrapped
+    batch (static-shape analog of the reference's partial batch in the
+    debug-overfit regime), not zero batches."""
+    import tempfile
+    from pathlib import Path
+
+    root = Path(tempfile.mkdtemp()) / "sensor"
+    generate_dataset(
+        root,
+        splits={"train": 1},
+        sweeps_per_log=1,
+        height=8,
+        width=56,
+        num_boxes=4,
+        num_bg_points=800,
+        seed=1,
+    )
+    ds = RangeViewDataset(_ds_cfg(root, "train"))
+    assert len(ds) == 1
+    loader = DataLoader(ds, batch_size=3, shuffle=True, drop_last=True)
+    assert len(loader) == 1
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["features"].shape[0] == 3
