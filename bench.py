@@ -70,6 +70,24 @@ def main() -> None:
         traceback.print_exc()
         pipeline = None
 
+    def sync(r):
+        # Force a host readback: through remote-tunnel transports,
+        # block_until_ready alone does not guarantee device completion;
+        # fetching the last result drains the in-order execution queue.
+        return float(jax.tree_util.tree_leaves(r)[0].sum())
+
+    if pipeline is not None:
+        # Compile + warm up the int8 path INSIDE the fallback guard: the
+        # quantized conv (int8 operands, int32 accumulation) may fail to
+        # lower/execute on backends where the fp calibration forward ran
+        # fine — that must also land on the bf16 fallback.
+        try:
+            for _ in range(3):
+                sync(pipeline(feats, cart, mask))
+        except Exception:  # pragma: no cover - backend-specific fallback
+            traceback.print_exc()
+            pipeline = None
+
     if pipeline is None:
 
         @jax.jit
@@ -78,16 +96,8 @@ def main() -> None:
             return decode(out, dec_cfg, tasks, use_nms=True)
 
         pipeline = pipeline_fp
-
-    def sync(r):
-        # Force a host readback: through remote-tunnel transports,
-        # block_until_ready alone does not guarantee device completion;
-        # fetching the last result drains the in-order execution queue.
-        return float(jax.tree_util.tree_leaves(r)[0].sum())
-
-    # Warmup / compile.
-    for _ in range(3):
-        sync(pipeline(feats, cart, mask))
+        for _ in range(3):
+            sync(pipeline(feats, cart, mask))
 
     # Chunked loop: a bounded in-flight queue (deep queues exhaust HBM
     # workspace), synced by host readback per chunk. The per-chunk readback

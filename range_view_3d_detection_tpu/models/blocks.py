@@ -128,13 +128,16 @@ class TorchConvTranspose(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
-        if ctx is not None and sw > 1:
+        # Input columns the kernel footprint reads across shard boundaries
+        # (in input units; exact for any sw >= 1 — sw == 1 degenerates to
+        # the regular-conv halo kw-1-pw / pw).
+        halo_l = max(0, (kw - 1 - pw) // sw)
+        halo_r = max(0, (pw + sw - 1) // sw)
+        if ctx is not None and (halo_l or halo_r):
             # Width-sharded transposed conv: fetch the columns this
             # kernel's footprint reads across the shard boundary, run the
             # dilated conv on the widened block, slice the exact local
             # output region (parallel/spatial.py module docstring).
-            halo_l = max(0, (kw - 1 - pw) // sw)
-            halo_r = max(0, (pw + sw - 1) // sw)
             Wl = x.shape[2]
             x = spatial.exchange_halo_lr(
                 x, halo_l, halo_r, ctx.axis, circular=ctx.circular

@@ -65,12 +65,6 @@ def _padded_image(x: Array, pad: int) -> Array:
     )
 
 
-def _neighbor_view(x: Array, dy: int, dx: int, pad: int) -> Array:
-    """One zero-padded neighborhood view (the (dy, dx) slice of unfold)."""
-    B, H, W = x.shape[:3]
-    return _padded_image(x, pad)[:, dy : dy + H, dx : dx + W]
-
-
 class MetaKernel(nn.Module):
     """RangeDet-style meta-kernel stem (``stems/__init__.py::MetaKernel``).
 

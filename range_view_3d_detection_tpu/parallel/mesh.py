@@ -100,6 +100,19 @@ def fetch_local(x) -> np.ndarray:
         return np.asarray(x)
     rows = {}
     for s in x.addressable_shards:
+        # This helper reassembles along the leading (batch) axis only; a
+        # width-/model-sharded array would silently collapse onto one
+        # shard here, so reject it loudly instead.
+        for d, sl in enumerate(s.index[1:], start=1):
+            full = (sl.start in (None, 0)) and (
+                sl.stop is None or sl.stop == x.shape[d]
+            )
+            if not full:
+                raise ValueError(
+                    "fetch_local supports arrays sharded on the leading "
+                    f"(batch) axis only; got a shard spanning {sl} on "
+                    f"axis {d} of global shape {x.shape}"
+                )
         start = s.index[0].start or 0
         rows[start] = np.asarray(s.data)
     return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
@@ -135,6 +148,12 @@ def initialize_distributed() -> None:
         return
     kwargs = {}
     if os.environ.get("JAX_NUM_PROCESSES"):
+        if not os.environ.get("JAX_PROCESS_ID"):
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not; "
+                "manual multi-host launches must export both (see "
+                "scripts/launch-local-hosts.sh / docs/DISTRIBUTED.md)."
+            )
         kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
         kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(coordinator_address=addr, **kwargs)

@@ -7,6 +7,7 @@ directly and hands numpy dicts around.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
@@ -30,9 +31,18 @@ def read_feather(
 
 
 def write_feather(path: str | Path, columns: Dict[str, np.ndarray]) -> None:
-    """Write a dict of equal-length numpy columns as feather (Arrow IPC)."""
+    """Write a dict of equal-length numpy columns as feather (Arrow IPC).
+
+    The write is atomic (temp file + rename): multi-host validate() can
+    assign the same wrap-padded sweep to two processes (dataset size not a
+    multiple of process_count), and both then write the same shard path
+    with identical content — rename makes that benign where interleaved
+    direct writes could leave a truncated file. Replaces the reference's
+    FileLock around shard writes (detector.py:378-380)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     table = pa.table({k: pa.array(v) for k, v in columns.items()})
-    with paipc.new_file(str(path), table.schema) as writer:
+    tmp = path.with_name(f".{path.name}.{os.getpid()}.tmp")
+    with paipc.new_file(str(tmp), table.schema) as writer:
         writer.write_table(table)
+    os.replace(tmp, path)

@@ -21,6 +21,8 @@ RUN_DIR="${RUN_DIR:-/tmp/rangebox-multihost}"
 ROOT="$(dirname "$0")/.."
 
 # Synthetic data (both processes read the same deterministic tree).
+# The package is imported from the repo root (not pip-installed).
+export PYTHONPATH="${ROOT}${PYTHONPATH:+:$PYTHONPATH}"
 python - <<'PY'
 from range_view_3d_detection_tpu.data.synthetic import generate_dataset
 generate_dataset("/tmp/rangebox-synthetic/sensor",

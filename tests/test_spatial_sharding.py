@@ -122,6 +122,44 @@ def test_width_sharded_deconv_exact():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("kernel,strides,padding", [
+    ((3, 3), (1, 1), (1, 1)),  # width-stride-1, kw>1: seam reads cross shards
+    ((3, 2), (1, 2), (1, 0)),  # no-overlap upsample: zero halo, plain path
+])
+def test_width_sharded_deconv_stride1_exact(kernel, strides, padding):
+    """TorchConvTranspose halo gating keys on the kernel footprint, not on
+    sw > 1: a width-stride-1 transposed conv with kw > 1 still reads across
+    shard seams and must exchange a halo."""
+    from range_view_3d_detection_tpu.models.blocks import TorchConvTranspose
+
+    mesh = make_mesh(num_data=1, num_model=4)
+    B, H, W, C = 1, 4, 32, 8
+    blk = TorchConvTranspose(
+        features=6, kernel_size=kernel, strides=strides, padding=padding
+    )
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    variables = blk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref = np.asarray(blk.apply(variables, jnp.asarray(x)))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, None, "model", None)))
+
+    def local(v, a):
+        with width_sharding("model"):
+            return blk.apply(v, a)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, "model", None)),
+        out_specs=P(None, None, "model", None),
+    )
+    got = np.asarray(fn(variables, xg))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 @pytest.mark.parametrize("stem", ["BASIC", "META"])
 def test_width_sharded_detector_exact(stem):
     """Full tiny detector, width-sharded eval forward == global forward."""

@@ -385,6 +385,47 @@ def export_aot(
     return out
 
 
+def _eval_shape(cfg) -> tuple:
+    """(H, Wp) a run actually evaluates at: configured height and the
+    padded + x_stride-decimated width the data layer emits."""
+    from range_view_3d_detection_tpu.data.dataset import width_padding
+
+    rv = cfg["dataset"]["_val_dataset"]["range_view_config"]
+    H, W = int(rv["height"]), int(rv["width"])
+    x_stride = int(cfg["dataset"]["_val_dataset"].get("x_stride", 1))
+    Wp = (W + 2 * width_padding(W, x_stride)) // x_stride
+    return H, Wp
+
+
+def _calibration_batches_from_run(run_dir: Path, n: int = 4):
+    """Real val batches at the run's eval shapes for PTQ calibration.
+
+    Returns None when the run's dataset is not on disk (the noise
+    fallback applies; tools/quant_accuracy.py demonstrates the real-data
+    path end-to-end)."""
+    import json
+
+    cfg = json.loads((run_dir / "config.json").read_text())
+    try:
+        from range_view_3d_detection_tpu.data.dataset import RangeViewDataset
+        from range_view_3d_detection_tpu.training.builders import (
+            build_dataset_config,
+        )
+
+        ds = RangeViewDataset(build_dataset_config(cfg, "val"))
+    except Exception:
+        return None
+    if len(ds) == 0:
+        return None
+    batches = []
+    for i in range(min(n, len(ds))):
+        item = ds[i]
+        batches.append(
+            (item["features"][None], item["cart"][None], item["mask"][None])
+        )
+    return batches
+
+
 def _restore_from_run_dir(run_dir: Path):
     """Rebuild configs + state from a training run directory (the
     config-in-checkpoint property, ``training/checkpoints.py``)."""
@@ -402,12 +443,7 @@ def _restore_from_run_dir(run_dir: Path):
     det_cfg = build_detector_config(cfg)
     dec_cfg = build_decoder_config(cfg)
 
-    rv = cfg["dataset"]["_val_dataset"]["range_view_config"]
-    H, W = int(rv["height"]), int(rv["width"])
-    from range_view_3d_detection_tpu.data.dataset import width_padding
-
-    x_stride = int(cfg["dataset"]["_val_dataset"].get("x_stride", 1))
-    Wp = (W + 2 * width_padding(W, x_stride)) // x_stride
+    H, Wp = _eval_shape(cfg)
     C = det_cfg.in_channels
     K = det_cfg.max_boxes
     dummy = {
@@ -518,17 +554,38 @@ def main(argv):
 
     quantize_batches = None
     if args.quantize:
-        from __graft_entry__ import _sample_inputs as _si
+        calib_h, calib_w = args.height, args.width
+        if args.run_dir and not args.synthetic:
+            # Calibrate at the run's REAL eval shape (padded + strided
+            # width) and on real val data when the run's dataset is on
+            # disk — noise at the wrong width would silently misstate
+            # activation ranges in the shipped scales.
+            import json as _json
 
-        quantize_batches = [
-            tuple(
-                np.asarray(a)
-                for a in _si(
-                    1, args.height, args.width, det_cfg.in_channels, seed=s
-                )
+            cfg_run = _json.loads(
+                (Path(args.run_dir) / "config.json").read_text()
             )
-            for s in range(4)
-        ]
+            calib_h, calib_w = _eval_shape(cfg_run)
+            quantize_batches = _calibration_batches_from_run(
+                Path(args.run_dir)
+            )
+        if quantize_batches is None:
+            if args.run_dir and not args.synthetic:
+                print(
+                    "warning: run dataset not on disk; calibrating int8 "
+                    f"scales on synthetic noise at {calib_h}x{calib_w}"
+                )
+            from __graft_entry__ import _sample_inputs as _si
+
+            quantize_batches = [
+                tuple(
+                    np.asarray(a)
+                    for a in _si(
+                        1, calib_h, calib_w, det_cfg.in_channels, seed=s
+                    )
+                )
+                for s in range(4)
+            ]
     export_artifact(
         variables,
         det_cfg,
