@@ -189,3 +189,29 @@ def test_aot_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got.cuboids), np.asarray(want.cuboids), atol=1e-5
     )
+
+
+def test_compile_cache_persists(tmp_path):
+    """load_artifact keeps a persistent XLA compile cache in the artifact
+    dir: executing the predict fn populates it, so a later process-level
+    reload of the same artifact replays the executable instead of
+    recompiling (the serving jit closes over weights — every checkpoint
+    is a distinct program)."""
+    from export import export_artifact, load_artifact
+
+    cfg = _small_cfg()
+    from range_view_3d_detection_tpu.models.detector import Detector
+
+    model = Detector(cfg)
+    f, c, m = _inputs()
+    variables = model.init(jax.random.PRNGKey(0), f, c, m, train=False)
+    from range_view_3d_detection_tpu.models.decoder import DecoderConfig
+
+    dec_cfg = DecoderConfig(nms_cap=64)
+    art = tmp_path / "art"
+    export_artifact(variables, cfg, dec_cfg, art)
+    predict, _, _ = load_artifact(art)
+    jax.block_until_ready(predict(f, c, m))
+    cache = art / "xla_cache"
+    assert cache.is_dir()
+    assert any(cache.iterdir()), "compile cache is empty after execution"

@@ -186,11 +186,45 @@ def export_artifact(
     print(f"artifact written to {out_dir}")
 
 
-def load_artifact(art_dir: Path, *, use_nms: bool = True, quantized="auto"):
+def enable_compile_cache(cache_dir: Path) -> bool:
+    """Persistent XLA compile cache for the serving path.
+
+    The serving jit closes over the weights (so the int8 weight
+    quantization constant-folds), which makes every checkpoint a distinct
+    XLA program — reloading the same artifact in a new process recompiles
+    from scratch (~3-4 min through this image's remote-compile tunnel,
+    BENCH_NOTES.md). The persistent cache keys on the traced HLO, so a
+    second load of the SAME artifact replays the compiled executable.
+    Returns False (no-op) when the backend rejects the config.
+    """
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            # The cache backend is a process-level singleton bound to the
+            # dir at first use; reset it so loading a SECOND artifact in
+            # the same process redirects the cache to that artifact.
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:  # pragma: no cover - jax-version specific
+            pass
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        return True
+    except Exception:  # pragma: no cover - backend/version specific
+        return False
+
+
+def load_artifact(
+    art_dir: Path, *, use_nms: bool = True, quantized="auto", cache: bool = True
+):
     """Rebuild a jitted end-to-end predict fn from an artifact dir.
 
     ``quantized``: "auto" takes the int8 path iff the artifact ships
     ``quant.msgpack``; True requires it; False forces the fp path.
+    ``cache``: keep a persistent XLA compile cache inside the artifact
+    dir so later loads of this artifact skip recompilation.
     """
     import flax.serialization
 
@@ -199,6 +233,8 @@ def load_artifact(art_dir: Path, *, use_nms: bool = True, quantized="auto"):
     from range_view_3d_detection_tpu.models.quantized import quantization
 
     art_dir = Path(art_dir)
+    if cache:
+        enable_compile_cache(art_dir / "xla_cache")
     meta = json.loads((art_dir / "meta.json").read_text())
     det_cfg = _detector_config_from_meta(meta["detector_config"])
     dec_cfg = _decoder_config_from_meta(meta["decoder_config"])
@@ -471,7 +507,12 @@ def main(argv):
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--bench", action="store_true")
     ap.add_argument("--aot", action="store_true")
-    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument(
+        "--batch",
+        default="2",
+        help="batch size; with --aot a comma list (e.g. 1,2,4) exports "
+        "one StableHLO per size",
+    )
     ap.add_argument(
         "--chunk",
         type=int,
@@ -509,12 +550,15 @@ def main(argv):
 
     if args.load:
         if args.aot:
-            export_aot(
-                Path(args.load),
-                batch=args.batch,
-                height=args.height,
-                width=args.width,
-            )
+            # Comma list exports one StableHLO per batch size (serving
+            # deployments pick the shape at dispatch time).
+            for b in (int(x) for x in str(args.batch).split(",")):
+                export_aot(
+                    Path(args.load),
+                    batch=b,
+                    height=args.height,
+                    width=args.width,
+                )
             return
         predict, det_cfg, dec_cfg = load_artifact(
             Path(args.load), quantized=False if args.fp else "auto"
@@ -522,7 +566,7 @@ def main(argv):
         if args.bench:
             stream_bench(
                 predict,
-                batch=args.batch,
+                batch=int(str(args.batch).split(",")[0]),
                 iters=args.iters,
                 H=args.height,
                 W=args.width,
