@@ -142,7 +142,11 @@ def multiclass_nms(
     merge_thr = merge_threshold if mode.upper() == "WEIGHTED" else 1.01
 
     if backend == "auto":
-        backend = "pallas" if (_use_pallas_default() and cap <= 1024) else "lax"
+        # Row-blocked kernel: VMEM holds one IoU row block at a time, so
+        # the budget extends past the old whole-matrix cap<=1024 limit
+        # (kernels/nms_pallas.py sizing note). 4096 keeps the external
+        # (cap, cap) IoU computation + HBM footprint reasonable.
+        backend = "pallas" if (_use_pallas_default() and cap <= 4096) else "lax"
     if backend in ("pallas", "pallas_interpret"):
         from range_view_3d_detection_tpu.kernels.nms_pallas import (
             nms_scan_pallas,

@@ -63,3 +63,33 @@ def test_pallas_matches_lax_hard():
     np.testing.assert_allclose(
         np.asarray(got.cuboids)[keep], np.asarray(ref.cuboids)[keep], atol=1e-4
     )
+
+
+def test_pallas_row_blocked_matches_lax():
+    """cap=2048 streams the IoU matrix in row blocks through the grid
+    (row_block=256, 8 grid steps) — the flagship nms_cap=2048 now takes
+    the Pallas path. State must persist across grid steps exactly."""
+    from range_view_3d_detection_tpu.kernels.nms_pallas import _pick_row_block
+
+    assert _pick_row_block(2048) == 256
+    assert _pick_row_block(1024) == 512
+    assert _pick_row_block(64) == 64
+
+    boxes, scores, cats = _random_boxes(2048, seed=11, spread=40.0)
+    kw = dict(cap=2048, block=128, iou_threshold=0.3, min_confidence=0.1)
+    ref = multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cats),
+        backend="lax", **kw,
+    )
+    got = multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cats),
+        backend="pallas_interpret", **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(got.keep), np.asarray(ref.keep))
+    keep = np.asarray(ref.keep)
+    np.testing.assert_allclose(
+        np.asarray(got.cuboids)[keep], np.asarray(ref.cuboids)[keep], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores)[keep], np.asarray(ref.scores)[keep], atol=1e-5
+    )
