@@ -241,19 +241,33 @@ class Trainer:
             logger.info("resumed from step %d", int(state.step))
         return state
 
+    def _device_prefetch(self, loader):
+        """Yield (device_batch, host_batch) with the NEXT batch already
+        enqueued onto the mesh: ``device_put`` is async, so the H2D copy
+        of batch n+1 overlaps the (also async-dispatched) train step of
+        batch n instead of serializing with it. The reference gets this
+        from torch pin_memory + non_blocking copies under DDP; here one
+        batch of lookahead bounds the extra HBM at one input batch."""
+        from collections import deque
+
+        q = deque()
+        for batch in loader:
+            arrays = {
+                k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+            }
+            q.append((shard_batch(arrays, self.mesh), batch))
+            if len(q) >= 2:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
+
     def fit(self) -> TrainState:
         t0 = time.time()
         step = 0
         for epoch in range(self.max_epochs):
-            for batch in self.train_loader:
-                device_batch = shard_batch(
-                    {
-                        k: v
-                        for k, v in batch.items()
-                        if isinstance(v, np.ndarray)
-                    },
-                    self.mesh,
-                )
+            for device_batch, batch in self._device_prefetch(
+                self.train_loader
+            ):
                 if self.state is None:
                     self.state = self._init_state(device_batch)
                     step = int(self.state.step)
@@ -317,11 +331,7 @@ class Trainer:
         )
         val_metric_sums: Dict[str, float] = {}
         num_val_batches = 0
-        for batch in self.val_loader:
-            device_batch = shard_batch(
-                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
-                self.mesh,
-            )
+        for device_batch, batch in self._device_prefetch(self.val_loader):
             if val_step is not None:
                 result, vm = val_step(self.state, device_batch)
                 num_val_batches += 1
