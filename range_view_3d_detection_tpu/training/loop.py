@@ -165,7 +165,14 @@ class Trainer:
 
         self.max_epochs = int(cfg["trainer"].get("max_epochs", 20))
         steps_per_epoch = max(len(self.train_loader), 1)
-        total_steps = steps_per_epoch * self.max_epochs
+        # PTL accumulate_grad_batches analog: the scheduler counts
+        # OPTIMIZER steps, of which there are micro-steps / k.
+        self.accum_steps = max(
+            int(cfg["trainer"].get("accumulate_grad_batches", 1)), 1
+        )
+        total_steps = max(
+            steps_per_epoch * self.max_epochs // self.accum_steps, 1
+        )
 
         m = cfg["model"]
         debug = bool(m.get("debug", False))
@@ -178,6 +185,7 @@ class Trainer:
             batch_size=self.batch_size,
             use_linear_lr_scaling=bool(m.get("use_linear_lr_scaling", False)),
             debug=debug,
+            accumulate_steps=self.accum_steps,
         )
         self.train_step = make_train_step(self.det_cfg, self.tx)
         self.eval_step = make_eval_step(self.det_cfg, self.dec_cfg)
@@ -276,7 +284,7 @@ class Trainer:
                 if step % 10 == 0 or step == 1:
                     m = {k: v for k, v in metrics.items()}
                     m["epoch"] = epoch
-                    m["lr"] = self.schedule(step)
+                    m["lr"] = self.schedule(step // self.accum_steps)
                     m["wall_time"] = time.time() - t0
                     self.logger.log(m, step)
                 if self.train_log_freq and step % self.train_log_freq == 0:

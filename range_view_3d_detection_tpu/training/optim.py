@@ -52,14 +52,28 @@ def make_optimizer(
     batch_size: int = 1,
     use_linear_lr_scaling: bool = False,
     debug: bool = False,
+    accumulate_steps: int = 1,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
     """AdamW + OneCycle + clip-by-global-norm.
 
     In debug mode the reference skips the scheduler entirely
     (``nn/meta/arch.py:58-59``) — constant LR.
+
+    ``accumulate_steps`` > 1 reproduces PyTorch-Lightning's
+    ``accumulate_grad_batches``: micro-batch gradients are averaged for
+    k steps and the (clipped) update applies on the k-th — how the
+    reference's SOTA global batch 16 (4 GPUs x batch 4,
+    ``scripts/train.sh``) fits on a 16 GB v5e chip that holds batch 2.
+    ``total_steps`` counts OPTIMIZER steps (micro steps / k); the sqrt
+    LR rule scales by the effective global batch, matching the
+    reference's semantics where ``batch_size`` is already the
+    per-optimizer-step batch.
     """
     lr = scaled_max_lr(
-        max_lr, num_devices, batch_size, enable=use_linear_lr_scaling
+        max_lr,
+        num_devices,
+        batch_size * max(accumulate_steps, 1),
+        enable=use_linear_lr_scaling,
     )
     if debug:
         schedule: optax.Schedule = optax.constant_schedule(lr)
@@ -69,4 +83,11 @@ def make_optimizer(
         optax.clip_by_global_norm(grad_clip_norm),
         optax.adamw(learning_rate=schedule, weight_decay=weight_decay),
     )
+    if accumulate_steps > 1:
+        # MultiSteps keeps the running MEAN of the k micro-gradients and
+        # applies the inner chain (clip-after-accumulation, like PTL) on
+        # the k-th; inner schedule counts advance per applied update.
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=accumulate_steps
+        ).gradient_transformation()
     return tx, schedule

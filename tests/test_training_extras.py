@@ -122,3 +122,39 @@ def test_normalize_affinities():
     )
     aff = np.asarray(out.affinities)[..., 1]
     np.testing.assert_allclose(aff[0, 2, 0:5].max(), 1.0, atol=1e-5)
+
+
+def test_gradient_accumulation_matches_large_batch():
+    """make_optimizer(accumulate_steps=k): params move only on every k-th
+    micro-step, and the applied update equals the accumulate_steps=1
+    update on the MEAN of the k micro-gradients (PTL
+    accumulate_grad_batches semantics: clip after accumulation)."""
+    params = {"w": jnp.asarray([1.0, -2.0, 3.0])}
+    g1 = {"w": jnp.asarray([0.5, 1.0, -0.25])}
+    g2 = {"w": jnp.asarray([-0.1, 0.4, 0.8])}
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+
+    tx_acc, _ = optim.make_optimizer(
+        1e-2, 10, grad_clip_norm=0.5, accumulate_steps=2
+    )
+    st = tx_acc.init(params)
+    up1, st = tx_acc.update(g1, st, params)
+    np.testing.assert_allclose(np.asarray(up1["w"]), 0.0)  # no step yet
+    up2, st = tx_acc.update(g2, st, params)
+
+    tx_ref, _ = optim.make_optimizer(1e-2, 10, grad_clip_norm=0.5)
+    st_ref = tx_ref.init(params)
+    up_ref, _ = tx_ref.update(gmean, st_ref, params)
+    np.testing.assert_allclose(
+        np.asarray(up2["w"]), np.asarray(up_ref["w"]), rtol=1e-6
+    )
+
+    # sqrt LR rule sees the effective batch: batch * accum.
+    _, sched_acc = optim.make_optimizer(
+        1e-3, 10, batch_size=2, accumulate_steps=8,
+        use_linear_lr_scaling=True,
+    )
+    _, sched_big = optim.make_optimizer(
+        1e-3, 10, batch_size=16, use_linear_lr_scaling=True
+    )
+    np.testing.assert_allclose(float(sched_acc(5)), float(sched_big(5)))
