@@ -133,9 +133,12 @@ class _SweepCase:
 
     def matches_at(self, cutoff: float) -> Tuple[int, List[Tuple[int, int]]]:
         k = int(np.searchsorted(-self.scores, -cutoff, side="right"))
+        return k, self.matches_at_k(k)
+
+    def matches_at_k(self, k: int) -> List[Tuple[int, int]]:
         if k not in self._cache:
             self._cache[k] = match_prefix(self.iou, k, self.thr)
-        return k, self._cache[k]
+        return self._cache[k]
 
 
 def _in_band(rng: np.ndarray, lo: float, hi: float) -> np.ndarray:
@@ -220,45 +223,76 @@ def evaluate_waymo(
                 )
             )
 
+        # Band membership and per-level GT counts are cutoff-invariant:
+        # compute once per (case, band).
+        nb = len(RANGE_BREAKDOWNS)
+        band_g_in = []  # [band][case] GT-in-band masks
+        band_d_in = []  # [band][case] detection-in-band masks
+        band_num_gt = []  # [band][level] totals
         for lo, hi in RANGE_BREAKDOWNS:
-            # Band membership and per-level GT counts are cutoff-invariant:
-            # compute once per (case, band), not per matched pair per cutoff.
-            num_gt = {1: 0, 2: 0}
-            g_in = []
-            d_in = []
+            g_list, d_list = [], []
+            n1 = n2 = 0
             for case in cases:
                 gin = _in_band(case.g_range, lo, hi)
-                g_in.append(gin)
-                d_in.append(_in_band(case.d_range, lo, hi))
-                num_gt[2] += int(gin.sum())
-                num_gt[1] += int((gin & ~case.g_l2).sum())
+                g_list.append(gin)
+                d_list.append(_in_band(case.d_range, lo, hi))
+                n2 += int(gin.sum())
+                n1 += int((gin & ~case.g_l2).sum())
+            band_g_in.append(g_list)
+            band_d_in.append(d_list)
+            band_num_gt.append({1: n1, 2: n2})
 
-            for level in (1, 2):
-                precisions, recalls = [], []
-                for c in cutoffs:
-                    n_tp = 0
-                    n_fp = 0
-                    for ci, case in enumerate(cases):
-                        k, matches = case.matches_at(c)
-                        matched_d = np.zeros(k, bool)
-                        for i, j in matches:
-                            matched_d[i] = True
-                            if not g_in[ci][j]:
-                                continue  # pair belongs to another band
-                            if level == 1 and case.g_l2[j]:
-                                continue  # ignored: matched a harder GT
-                            n_tp += 1
-                        # Unmatched detections bucket by their own range.
-                        n_fp += int((~matched_d & d_in[ci][:k]).sum())
-                    n_det = n_tp + n_fp
-                    precisions.append(n_tp / n_det if n_det else 1.0)
-                    recalls.append(
-                        n_tp / num_gt[level] if num_gt[level] else 0.0
+        # Matching (and hence tp/fp per band/level) depends on the cutoff
+        # only through the score-prefix length k: per case, map all 101
+        # cutoffs to their k with one vectorized searchsorted, compute the
+        # band-resolved stats once per DISTINCT k (one Hungarian prefix
+        # each), and scatter into (cutoff, band, level) totals. The naive
+        # walk made cases x cutoffs x bands x levels tiny python calls —
+        # ~240k for 100 sweeps — and re-counted every match 6x.
+        cut_arr = np.asarray(cutoffs, np.float64)
+        ncut = len(cut_arr)
+        tp_total = np.zeros((ncut, nb, 2), np.int64)
+        fp_total = np.zeros((ncut, nb), np.int64)
+        for ci, case in enumerate(cases):
+            ks = np.searchsorted(-case.scores, -cut_arr, side="right")
+            for k in np.unique(ks):
+                k = int(k)
+                matches = case.matches_at_k(k)
+                tp = np.zeros((nb, 2), np.int64)
+                fp = np.zeros(nb, np.int64)
+                mi = np.asarray([i for i, _ in matches], np.int64)
+                mj = np.asarray([j for _, j in matches], np.int64)
+                matched_d = np.zeros(k, bool)
+                matched_d[mi] = True
+                hard = case.g_l2[mj] if len(mj) else np.zeros(0, bool)
+                for bi in range(nb):
+                    hit = (
+                        band_g_in[bi][ci][mj]
+                        if len(mj)
+                        else np.zeros(0, bool)
                     )
-                ap = (
-                    _ap_from_pr(np.asarray(precisions), np.asarray(recalls))
+                    tp[bi, 1] = int(hit.sum())  # level 2: every match
+                    tp[bi, 0] = int((hit & ~hard).sum())  # L1: ignore L2 GTs
+                    # Unmatched detections bucket by their own range.
+                    fp[bi] = int((~matched_d & band_d_in[bi][ci][:k]).sum())
+                sel = ks == k
+                tp_total[sel] += tp
+                fp_total[sel] += fp
+
+        for bi, (lo, hi) in enumerate(RANGE_BREAKDOWNS):
+            num_gt = band_num_gt[bi]
+            for level in (1, 2):
+                n_tp = tp_total[:, bi, level - 1].astype(np.float64)
+                n_fp = fp_total[:, bi].astype(np.float64)
+                n_det = n_tp + n_fp
+                precisions = np.where(n_det > 0, n_tp / np.maximum(n_det, 1), 1.0)
+                recalls = (
+                    n_tp / num_gt[level]
                     if num_gt[level]
-                    else 0.0
+                    else np.zeros(ncut)
+                )
+                ap = (
+                    _ap_from_pr(precisions, recalls) if num_gt[level] else 0.0
                 )
                 hi_s = "inf" if np.isinf(hi) else f"{hi:g}"
                 out[f"{cat}/L{level}/{lo:g}-{hi_s}/AP_{mode}"] = ap
