@@ -83,6 +83,54 @@ def z_buffer_numpy(
     return img.reshape(height, width, values.shape[1])
 
 
+def z_buffer_jax_sorted(
+    row: Array,
+    col: Array,
+    distances: Array,
+    values: Array,
+    *,
+    height: int,
+    width: int,
+    min_distance: float = MIN_DISTANCE,
+) -> Array:
+    """Sort-based on-device z-buffer (no scatter at all).
+
+    TPU scatters serialize (XLA lowers ``segment_min`` to scatter-min HLO,
+    which updates one window per step); sorts are heavily optimized. This
+    formulation is pure sort + gather:
+
+    1. lexicographic sort of (pixel, distance, point-index) — the first
+       entry of each pixel's run is the nearest return with the
+       reference's first-wins tie-break (``conversions.py:106-128``);
+    2. ``searchsorted`` of every pixel id into the sorted pixel column
+       finds each run's start;
+    3. a gather pulls the winning point's features.
+
+    Identical results to :func:`z_buffer_jax`; pick per backend by
+    measured cost (see BENCH_NOTES.md).
+    """
+    n = distances.shape[0]
+    valid = distances >= min_distance
+    flat = jnp.where(valid, row * width + col, height * width).astype(
+        jnp.int32
+    )
+    dist_masked = jnp.where(valid, distances, jnp.inf).astype(jnp.float32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    flat_s, _, idx_s = jax.lax.sort(
+        (flat, dist_masked, idx), num_keys=2
+    )
+    # idx participates as payload only: ties in (pixel, distance) keep
+    # sort stability -> smallest original index first, matching the
+    # sequential reference's first-wins rule (lax.sort is stable).
+    pixels = jnp.arange(height * width, dtype=jnp.int32)
+    start = jnp.searchsorted(flat_s, pixels, side="left").astype(jnp.int32)
+    start = jnp.minimum(start, n - 1)
+    has = flat_s[start] == pixels
+    winner = idx_s[start]
+    img = jnp.where(has[:, None], values[winner], 0.0)
+    return img.reshape(height, width, values.shape[1])
+
+
 def z_buffer_jax(
     row: Array,
     col: Array,

@@ -119,6 +119,45 @@ def test_artifact_roundtrip(tmp_path):
     )
 
 
+def test_latency_bench_smoke(tmp_path, monkeypatch):
+    """latency_bench runs the per-request sync loop and reports ordered
+    percentiles on a tiny artifact (CPU path)."""
+    from export import export_artifact, latency_bench, load_artifact
+
+    from range_view_3d_detection_tpu.models.decoder import DecoderConfig
+    from range_view_3d_detection_tpu.models.detector import Detector
+
+    cfg = _small_cfg()
+    model = Detector(cfg)
+    feats, cart, mask = _inputs()
+    variables = model.init(
+        jax.random.PRNGKey(1), feats, cart, mask, train=False
+    )
+    export_artifact(
+        variables,
+        cfg,
+        DecoderConfig(nms_cap=64, num_post_nms=16),
+        tmp_path / "art",
+    )
+    predict, det_cfg, _ = load_artifact(tmp_path / "art")
+
+    import __graft_entry__ as ge
+
+    def _tiny_inputs(B, H, W, C, seed=0):
+        return _inputs(B, H, W, C, seed=seed)
+
+    monkeypatch.setattr(ge, "_sample_inputs", _tiny_inputs)
+    stats = latency_bench(
+        predict, batch=1, iters=6, H=16, W=64, C=det_cfg.in_channels
+    )
+    assert stats["latency_ms_min"] > 0
+    assert (
+        stats["latency_ms_p50"]
+        <= stats["latency_ms_p90"]
+        <= stats["latency_ms_p99"]
+    )
+
+
 def test_chunked_predict_matches_per_call(tmp_path):
     """The device-resident lax.scan serving loop (one dispatch per chunk,
     one micro-batch of activations live) returns exactly the per-call

@@ -51,6 +51,42 @@ def test_z_buffer_jax_matches_numpy():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_z_buffer_jax_sorted_matches_numpy():
+    row, col, dist, values = _random_points(seed=5)
+    want = projection.z_buffer_numpy(row, col, dist, values, height=8, width=32)
+    got = np.asarray(
+        projection.z_buffer_jax_sorted(
+            jnp.asarray(row),
+            jnp.asarray(col),
+            jnp.asarray(dist),
+            jnp.asarray(values),
+            height=8,
+            width=32,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_z_buffer_jax_sorted_tie_break_first_wins():
+    # Two points on the same pixel at identical distance: the sequential
+    # reference keeps the first — sort stability must preserve that.
+    row = np.array([0, 0])
+    col = np.array([0, 0])
+    dist = np.array([5.0, 5.0], np.float32)
+    values = np.array([[1.0], [2.0]], np.float32)
+    got = np.asarray(
+        projection.z_buffer_jax_sorted(
+            jnp.asarray(row),
+            jnp.asarray(col),
+            jnp.asarray(dist),
+            jnp.asarray(values),
+            height=1,
+            width=1,
+        )
+    )
+    assert got[0, 0, 0] == 1.0
+
+
 def test_min_distance_filtering():
     row = np.array([0, 0])
     col = np.array([0, 0])

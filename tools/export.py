@@ -383,6 +383,68 @@ def stream_bench(
     return fps
 
 
+def latency_bench(
+    predict,
+    *,
+    batch: int,
+    iters: int,
+    H: int,
+    W: int,
+    C: int,
+):
+    """Per-request latency: one dispatch, full host-readback sync per call.
+
+    Unlike ``stream_bench`` (throughput: back-to-back dispatches pipelined
+    by async dispatch), this measures the serving-latency operating point
+    the reference reports for batch-1 fp16 (``tools/benchmark.py`` staged
+    walls): submit one request, wait for its result, record the wall.
+    Reports p50/p90/p99 per-request latency.
+
+    Through this image's remote-TPU tunnel each sync pays a ~35 ms
+    readback RPC on top of device time, so p50 here is an upper bound;
+    the device-side latency floor is the per-op total from
+    ``tools/profile_trace.py`` (also printed for context when available
+    via the min observed wall). On a real TPU VM (local PCIe) the wall
+    converges to device time + sub-ms readback.
+    """
+    from __graft_entry__ import _sample_inputs
+
+    def sync(r):
+        return float(np.asarray(jax.tree_util.tree_leaves(r)[0]).sum())
+
+    batches = []
+    for i in range(4):
+        f, c, m = _sample_inputs(batch, H, W, C, seed=i)
+        batches.append(
+            jax.device_put((np.asarray(f), np.asarray(c), np.asarray(m)))
+        )
+
+    for b in batches[:2]:  # compile + warm
+        sync(predict(*b))
+
+    walls = []
+    for i in range(iters):
+        b = batches[i % 4]
+        t0 = time.perf_counter()
+        sync(predict(*b))
+        walls.append((time.perf_counter() - t0) * 1e3)
+    walls.sort()
+
+    def pct(p):
+        return walls[min(len(walls) - 1, int(p / 100 * len(walls)))]
+
+    stats = {
+        "latency_ms_p50": round(pct(50), 2),
+        "latency_ms_p90": round(pct(90), 2),
+        "latency_ms_p99": round(pct(99), 2),
+        "latency_ms_min": round(walls[0], 2),
+        "batch": batch,
+        "iters": iters,
+    }
+    print(json.dumps(stats))
+    return stats
+
+
 def export_aot(
     art_dir: Path, *, batch: int, height: int, width: int
 ) -> Path:
@@ -519,6 +581,12 @@ def main(argv):
         default=0,
         help="micro-batches per dispatch (device-resident lax.scan loop)",
     )
+    ap.add_argument(
+        "--latency",
+        action="store_true",
+        help="with --load: per-request latency mode (one dispatch + full "
+        "sync per call, p50/p90/p99) instead of pipelined throughput",
+    )
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--width", type=int, default=1808)
@@ -526,8 +594,9 @@ def main(argv):
         "--nms-cap",
         type=int,
         default=1024,
-        help="synthetic-export proposal budget (<=1024 takes the Pallas "
-        "NMS scan; larger budgets take the lax fallback)",
+        help="synthetic-export proposal budget (<=4096 takes the "
+        "row-blocked Pallas NMS scan; larger budgets take the lax "
+        "fallback)",
     )
     ap.add_argument(
         "--quantize",
@@ -563,6 +632,16 @@ def main(argv):
         predict, det_cfg, dec_cfg = load_artifact(
             Path(args.load), quantized=False if args.fp else "auto"
         )
+        if args.latency:
+            latency_bench(
+                predict,
+                batch=int(str(args.batch).split(",")[0]),
+                iters=args.iters,
+                H=args.height,
+                W=args.width,
+                C=det_cfg.in_channels,
+            )
+            return
         if args.bench:
             stream_bench(
                 predict,
