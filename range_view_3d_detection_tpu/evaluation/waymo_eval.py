@@ -38,6 +38,7 @@ this module reimplements the protocol:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -147,19 +148,88 @@ def _in_band(rng: np.ndarray, lo: float, hi: float) -> np.ndarray:
     return (rng >= lo) & (rng < hi) if lo else rng < hi
 
 
+def _case_band_stats(args) -> Tuple[np.ndarray, np.ndarray]:
+    """(cutoff, band, level) tp/fp totals for ONE (sweep, category) case.
+
+    Matching depends on the cutoff only through the score-prefix length
+    ``k``: map all cutoffs to their ``k`` with one searchsorted, run one
+    Hungarian prefix per DISTINCT ``k``, and scatter the band-resolved
+    stats into per-cutoff totals. Module-level and arg-tuple-packed so a
+    ``ProcessPoolExecutor`` can map it (the per-prefix scipy LSAP solves
+    are the eval's dominant cost and embarrassingly parallel over cases).
+    """
+    scores, iou, g_range, d_range, g_l2, thr, cut_arr = args
+    nb = len(RANGE_BREAKDOWNS)
+    ncut = len(cut_arr)
+    g_in = [_in_band(g_range, lo, hi) for lo, hi in RANGE_BREAKDOWNS]
+    d_in = [_in_band(d_range, lo, hi) for lo, hi in RANGE_BREAKDOWNS]
+    tp_total = np.zeros((ncut, nb, 2), np.int64)
+    fp_total = np.zeros((ncut, nb), np.int64)
+    ks = np.searchsorted(-scores, -cut_arr, side="right")
+    for k in np.unique(ks):
+        k = int(k)
+        matches = match_prefix(iou, k, thr)
+        tp = np.zeros((nb, 2), np.int64)
+        fp = np.zeros(nb, np.int64)
+        mi = np.asarray([i for i, _ in matches], np.int64)
+        mj = np.asarray([j for _, j in matches], np.int64)
+        matched_d = np.zeros(k, bool)
+        matched_d[mi] = True
+        hard = g_l2[mj] if len(mj) else np.zeros(0, bool)
+        for bi in range(nb):
+            hit = g_in[bi][mj] if len(mj) else np.zeros(0, bool)
+            tp[bi, 1] = int(hit.sum())  # level 2: every match
+            tp[bi, 0] = int((hit & ~hard).sum())  # L1: ignore L2 GTs
+            # Unmatched detections bucket by their own range.
+            fp[bi] = int((~matched_d & d_in[bi][:k]).sum())
+        sel = ks == k
+        tp_total[sel] += tp
+        fp_total[sel] += fp
+    return tp_total, fp_total
+
+
 def evaluate_waymo(
     dts: Dict[str, np.ndarray],
     gts: Dict[str, np.ndarray],
     categories: Sequence[str] = ("VEHICLE", "PEDESTRIAN", "CYCLIST"),
     *,
     mode: str = "3d",  # "3d" | "bev"
+    workers: Optional[int] = None,
 ) -> Dict[str, float]:
     """Compute WOD-style AP per category x level x range breakdown.
 
     dts columns: box params + score + category + log_id + timestamp_ns.
     gts columns: box params + category + num_interior_pts
     (+ difficulty_level) + log_id + timestamp_ns.
+
+    ``workers`` parallelizes the per-(sweep, category) Hungarian solves
+    over a process pool (default: ``RV3D_EVAL_WORKERS`` env var, else
+    serial). On a many-core TPU-VM host this turns the ~20-minute
+    full-val extrapolation (BENCH_NOTES.md) into wall/workers.
     """
+    if workers is None:
+        workers = int(os.environ.get("RV3D_EVAL_WORKERS", "0") or 0)
+    if workers and workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            return _evaluate_waymo_impl(
+                dts, gts, categories, mode=mode, pool=pool, workers=workers
+            )
+    return _evaluate_waymo_impl(
+        dts, gts, categories, mode=mode, pool=None, workers=0
+    )
+
+
+def _evaluate_waymo_impl(
+    dts: Dict[str, np.ndarray],
+    gts: Dict[str, np.ndarray],
+    categories: Sequence[str],
+    *,
+    mode: str,
+    pool,
+    workers: int,
+) -> Dict[str, float]:
     iou_fn = _iou3d if mode == "3d" else _bev_iou
 
     gt_level2 = gts.get(
@@ -223,61 +293,36 @@ def evaluate_waymo(
                 )
             )
 
-        # Band membership and per-level GT counts are cutoff-invariant:
-        # compute once per (case, band).
+        # Per-level GT counts are cutoff-invariant: once per (case, band).
         nb = len(RANGE_BREAKDOWNS)
-        band_g_in = []  # [band][case] GT-in-band masks
-        band_d_in = []  # [band][case] detection-in-band masks
         band_num_gt = []  # [band][level] totals
         for lo, hi in RANGE_BREAKDOWNS:
-            g_list, d_list = [], []
             n1 = n2 = 0
             for case in cases:
                 gin = _in_band(case.g_range, lo, hi)
-                g_list.append(gin)
-                d_list.append(_in_band(case.d_range, lo, hi))
                 n2 += int(gin.sum())
                 n1 += int((gin & ~case.g_l2).sum())
-            band_g_in.append(g_list)
-            band_d_in.append(d_list)
             band_num_gt.append({1: n1, 2: n2})
 
-        # Matching (and hence tp/fp per band/level) depends on the cutoff
-        # only through the score-prefix length k: per case, map all 101
-        # cutoffs to their k with one vectorized searchsorted, compute the
-        # band-resolved stats once per DISTINCT k (one Hungarian prefix
-        # each), and scatter into (cutoff, band, level) totals. The naive
-        # walk made cases x cutoffs x bands x levels tiny python calls —
-        # ~240k for 100 sweeps — and re-counted every match 6x.
+        # Per-case (cutoff, band, level) tp/fp stats: one Hungarian prefix
+        # per distinct prefix length (see _case_band_stats), parallel over
+        # cases when a pool is configured.
         cut_arr = np.asarray(cutoffs, np.float64)
         ncut = len(cut_arr)
         tp_total = np.zeros((ncut, nb, 2), np.int64)
         fp_total = np.zeros((ncut, nb), np.int64)
-        for ci, case in enumerate(cases):
-            ks = np.searchsorted(-case.scores, -cut_arr, side="right")
-            for k in np.unique(ks):
-                k = int(k)
-                matches = case.matches_at_k(k)
-                tp = np.zeros((nb, 2), np.int64)
-                fp = np.zeros(nb, np.int64)
-                mi = np.asarray([i for i, _ in matches], np.int64)
-                mj = np.asarray([j for _, j in matches], np.int64)
-                matched_d = np.zeros(k, bool)
-                matched_d[mi] = True
-                hard = case.g_l2[mj] if len(mj) else np.zeros(0, bool)
-                for bi in range(nb):
-                    hit = (
-                        band_g_in[bi][ci][mj]
-                        if len(mj)
-                        else np.zeros(0, bool)
-                    )
-                    tp[bi, 1] = int(hit.sum())  # level 2: every match
-                    tp[bi, 0] = int((hit & ~hard).sum())  # L1: ignore L2 GTs
-                    # Unmatched detections bucket by their own range.
-                    fp[bi] = int((~matched_d & band_d_in[bi][ci][:k]).sum())
-                sel = ks == k
-                tp_total[sel] += tp
-                fp_total[sel] += fp
+        case_args = [
+            (c.scores, c.iou, c.g_range, c.d_range, c.g_l2, c.thr, cut_arr)
+            for c in cases
+        ]
+        if pool is not None and len(case_args) > 1:
+            chunk = max(1, len(case_args) // (4 * workers))
+            stats = pool.map(_case_band_stats, case_args, chunksize=chunk)
+        else:
+            stats = map(_case_band_stats, case_args)
+        for tp_c, fp_c in stats:
+            tp_total += tp_c
+            fp_total += fp_c
 
         for bi, (lo, hi) in enumerate(RANGE_BREAKDOWNS):
             num_gt = band_num_gt[bi]

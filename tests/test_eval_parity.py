@@ -272,6 +272,19 @@ def test_waymo_percutoff_matches_oracle(seed):
     )
 
 
+def test_waymo_eval_workers_identical():
+    """The process-pool path returns bit-identical metrics to serial."""
+    rng = np.random.default_rng(7)
+    dts, gts = _rand_scene(rng, n_gt=10, n_dt=14, n_sweeps=6, spread=40.0)
+    serial = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    par = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", workers=2
+    )
+    assert serial.keys() == par.keys()
+    for k in serial:
+        np.testing.assert_allclose(serial[k], par[k], atol=0)
+
+
 def test_waymo_rematching_changes_low_score_fate():
     """A low-score TP displaced by a high-score near-duplicate must become
     a TP again at cutoffs that exclude the high-score detection's rival —

@@ -23,6 +23,13 @@ def main():
     ap.add_argument("--gt-dir", required=True)
     ap.add_argument("--dataset", default="av2", choices=["av2", "waymo"])
     ap.add_argument("--categories", default=None)
+    ap.add_argument(
+        "--workers",
+        type=int,
+        default=0,
+        help="process-pool width for the WOD per-sweep Hungarian solves "
+        "(0 = serial; also settable via RV3D_EVAL_WORKERS)",
+    )
     args = ap.parse_args()
 
     from range_view_3d_detection_tpu.evaluation.av2_eval import (
@@ -58,7 +65,9 @@ def main():
             mean_ap,
         )
 
-        metrics = evaluate_waymo(dts, gts, categories)
+        metrics = evaluate_waymo(
+            dts, gts, categories, workers=args.workers or None
+        )
         metrics["mAP_L2"] = mean_ap(metrics, level=2)
 
     print(json.dumps(metrics, indent=2, default=float))
