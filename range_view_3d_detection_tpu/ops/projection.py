@@ -5,13 +5,30 @@ Capability parity with the reference's numba ``z_buffer``
 ``build_range_view_coordinates`` (9-43): nearest-return-wins scatter of N
 points into an (H, W, C) range image.
 
-Two implementations:
+Implementations:
 - :func:`z_buffer_numpy` — host-side (converters, synthetic data); a
   vectorized sort + unique formulation instead of the reference's
   sequential numba loop.
-- :func:`z_buffer_jax` — on-device ``segment_min`` formulation used by the
-  end-to-end on-device pipeline (projection -> ... -> NMS), the north-star
-  path of BASELINE.json.
+- :func:`z_buffer_jax` — on-device ``segment_min`` formulation.
+- :func:`z_buffer_jax_sorted` / :func:`z_buffer_winner_map` — on-device
+  sort + searchsorted + gather formulation, no scatter HLO at all.
+- :func:`rasterize_points_jax` — the full device twin of the data layer's
+  ``load_sweep`` + ``_pad_and_stride``: raw points -> (features, cart,
+  mask) network inputs, jit-fusable in front of the serving forward so
+  the whole projection -> ... -> NMS pipeline (the BASELINE.json
+  north-star path) is ONE device program.
+
+On the north star's "Pallas scatter kernel": a Pallas z-buffer was
+prototyped and rejected — scatter-by-pixel is the one primitive the TPU
+vector unit cannot express (8x128 lanes write disjoint tiles, so
+colliding pixel updates serialize no matter who emits them), and a
+dense per-row candidate matrix costs H*W*N/H comparisons (~10^8/frame).
+The TPU-native answer is the same one the stem kernel found for its
+unfold: reformulate around the MXU/sort units. One ``lax.sort`` of
+(pixel, range) keys resolves every collision in O(N log N) with no
+serialization; at AV2 scale (N~10^5) the whole rasterization measures
+in the hundreds of microseconds, <2% of the serving forward (see
+BENCH_NOTES.md round-4).
 """
 
 from __future__ import annotations
@@ -83,17 +100,16 @@ def z_buffer_numpy(
     return img.reshape(height, width, values.shape[1])
 
 
-def z_buffer_jax_sorted(
+def z_buffer_winner_map(
     row: Array,
     col: Array,
     distances: Array,
-    values: Array,
     *,
     height: int,
     width: int,
     min_distance: float = MIN_DISTANCE,
-) -> Array:
-    """Sort-based on-device z-buffer (no scatter at all).
+) -> Tuple[Array, Array]:
+    """Sort-based winner resolution: (winner point index, occupancy).
 
     TPU scatters serialize (XLA lowers ``segment_min`` to scatter-min HLO,
     which updates one window per step); sorts are heavily optimized. This
@@ -103,11 +119,13 @@ def z_buffer_jax_sorted(
        entry of each pixel's run is the nearest return with the
        reference's first-wins tie-break (``conversions.py:106-128``);
     2. ``searchsorted`` of every pixel id into the sorted pixel column
-       finds each run's start;
-    3. a gather pulls the winning point's features.
+       finds each run's start.
 
-    Identical results to :func:`z_buffer_jax`; pick per backend by
-    measured cost (see BENCH_NOTES.md).
+    Returns ``(winner, has)``, each flat ``(height * width,)``: the index
+    of the winning point per pixel (undefined where ``has`` is False) and
+    the occupancy mask. Factored out of :func:`z_buffer_jax_sorted` so
+    multi-channel rasterization resolves winners ONCE and gathers every
+    feature channel from the same map (``rasterize_points_jax``).
     """
     n = distances.shape[0]
     valid = distances >= min_distance
@@ -126,9 +144,143 @@ def z_buffer_jax_sorted(
     start = jnp.searchsorted(flat_s, pixels, side="left").astype(jnp.int32)
     start = jnp.minimum(start, n - 1)
     has = flat_s[start] == pixels
-    winner = idx_s[start]
+    return idx_s[start], has
+
+
+def z_buffer_jax_sorted(
+    row: Array,
+    col: Array,
+    distances: Array,
+    values: Array,
+    *,
+    height: int,
+    width: int,
+    min_distance: float = MIN_DISTANCE,
+) -> Array:
+    """Sort-based on-device z-buffer (no scatter at all).
+
+    Winner resolution via :func:`z_buffer_winner_map`, then one gather
+    pulls the winning point's features. Identical results to
+    :func:`z_buffer_jax`; pick per backend by measured cost (see
+    BENCH_NOTES.md).
+    """
+    winner, has = z_buffer_winner_map(
+        row,
+        col,
+        distances,
+        height=height,
+        width=width,
+        min_distance=min_distance,
+    )
     img = jnp.where(has[:, None], values[winner], 0.0)
     return img.reshape(height, width, values.shape[1])
+
+
+def range_view_coordinates_jax(
+    xyz: Array, laser_numbers: Array, *, height: int, width: int
+) -> Tuple[Array, Array, Array]:
+    """Device twin of :func:`range_view_coordinates` (jnp, jit-safe)."""
+    az = jnp.arctan2(xyz[:, 1], xyz[:, 0])
+    rng = jnp.linalg.norm(xyz, axis=-1)
+    col = ((az + jnp.pi) / (2 * jnp.pi) * width).astype(jnp.int32) % width
+    row = jnp.clip(laser_numbers.astype(jnp.int32), 0, height - 1)
+    return row, col, rng
+
+
+def rasterize_points_jax(
+    xyz: Array,
+    laser_number: Array,
+    point_features: dict,
+    *,
+    height: int,
+    width: int,
+    feature_names: Tuple[str, ...],
+    dataset_name: str = "av2",
+    x_stride: int = 1,
+    pad: int = 0,
+    padding_mode: str = "circular",
+    min_distance: float = MIN_DISTANCE,
+) -> Tuple[Array, Array, Array]:
+    """Raw points -> (features, cart, mask) network inputs, on device.
+
+    The jit-fusable twin of ``data/dataset.py::load_sweep`` +
+    ``_pad_and_stride`` (reference: ``prototype/loader.py:556-621`` sweep
+    image assembly + ``792-815`` subsample): spherical projection, one
+    nearest-return z-buffer shared by every channel, the per-dataset
+    normalizations (Waymo tanh(intensity), timedelta seconds, the laser
+    ``view`` channel), empty-pixel masking, circular width padding and
+    column decimation. Composing this in front of the serving forward
+    makes projection -> backbone -> decode -> NMS one device program.
+
+    Not reproduced: the converter-side ROI multiply (``load_sweep``'s
+    ``is_within_roi`` flags come from offline map rasters; a raw-points
+    server has no map) and the optional 3x3 range median filter.
+
+    Args:
+        xyz: (N, 3) sensor-frame points; pad invalid rows with zeros
+            (range 0 < ``min_distance`` drops them).
+        laser_number: (N,) row index per point (sensor geometry).
+        point_features: name -> (N,) extra per-point channels
+            ("intensity", "elongation", "timedelta_ns", ... as the
+            dataset's ``feature_column_names`` demand).
+        feature_names: channel order of the returned feature image.
+        pad: per-side column padding (``data.dataset.width_padding``).
+
+    Returns:
+        features (H, Wp, C), cart (H, Wp, 3), mask (H, Wp) — Wp =
+        (width + 2 * pad) / x_stride, exactly the shapes the data layer
+        emits.
+    """
+    row, col, rng = range_view_coordinates_jax(
+        xyz, laser_number, height=height, width=width
+    )
+    winner, has = z_buffer_winner_map(
+        row, col, rng, height=height, width=width, min_distance=min_distance
+    )
+
+    def img(vals: Array) -> Array:
+        flat = jnp.where(has, vals[winner], 0.0)
+        return flat.reshape(height, width)
+
+    per_point = {
+        "range": rng.astype(jnp.float32),
+        "x": xyz[:, 0].astype(jnp.float32),
+        "y": xyz[:, 1].astype(jnp.float32),
+        "z": xyz[:, 2].astype(jnp.float32),
+    }
+    for k, v in point_features.items():
+        per_point[k] = v.astype(jnp.float32)
+
+    rng_img = img(per_point["range"])
+    mask = rng_img > 0.0
+
+    planes = []
+    for name in feature_names:
+        if name == "view":
+            # Laser -> sensor-view channel (loader.py:605-621): 2 for the
+            # upper 32-beam LiDAR, 1 for the lower, 0 for empty pixels.
+            ln = img(laser_number.astype(jnp.float32))
+            plane = jnp.where(mask, jnp.where(ln <= 32, 2.0, 1.0), 0.0)
+        else:
+            plane = img(per_point[name])
+            if name == "intensity" and dataset_name == "waymo":
+                plane = jnp.tanh(plane)
+            elif name == "timedelta_ns":
+                plane = plane * 1e-9
+        planes.append(plane)
+    feats = jnp.stack(planes, axis=-1)
+    cart = jnp.stack(
+        [img(per_point["x"]), img(per_point["y"]), img(per_point["z"])],
+        axis=-1,
+    )
+
+    feats = feats * mask[..., None]
+    mode = "wrap" if padding_mode == "circular" else "constant"
+    spec = ((0, 0), (pad, pad), (0, 0))
+    feats = jnp.pad(feats, spec, mode=mode)[:, ::x_stride]
+    cart = jnp.pad(cart, spec, mode=mode)[:, ::x_stride]
+    mask = jnp.pad(mask, spec[:2], mode=mode)[:, ::x_stride]
+    return feats.astype(jnp.float32), cart.astype(jnp.float32), mask
 
 
 def z_buffer_jax(

@@ -254,3 +254,65 @@ def test_compile_cache_persists(tmp_path):
     cache = art / "xla_cache"
     assert cache.is_dir()
     assert any(cache.iterdir()), "compile cache is empty after execution"
+
+def test_points_predict_end_to_end(tmp_path):
+    """Raw points -> detections: the fused projection->NMS serving path
+    equals rasterize-then-predict composed by hand."""
+    from export import (
+        _sample_points,
+        export_artifact,
+        load_artifact,
+        make_points_predict,
+    )
+
+    from range_view_3d_detection_tpu.data.dataset import (
+        AV2_FEATURES,
+        width_padding,
+    )
+    from range_view_3d_detection_tpu.models.decoder import DecoderConfig
+    from range_view_3d_detection_tpu.models.detector import Detector
+    from range_view_3d_detection_tpu.ops.projection import (
+        rasterize_points_jax,
+    )
+
+    H, W_sensor = 16, 60
+    pad = width_padding(W_sensor, 1)
+    assert W_sensor + 2 * pad == 64  # the model width of _small_cfg
+
+    cfg = _small_cfg()
+    model = Detector(cfg)
+    feats0, cart0, mask0 = _inputs(H=H, W=64)
+    variables = model.init(
+        jax.random.PRNGKey(2), feats0, cart0, mask0, train=False
+    )
+    export_artifact(
+        variables, cfg, DecoderConfig(nms_cap=64, num_post_nms=16),
+        tmp_path / "art",
+    )
+    predict, det_cfg, _ = load_artifact(tmp_path / "art")
+
+    points_predict, extra = make_points_predict(
+        predict,
+        sensor_width=W_sensor,
+        height=H,
+        feature_names=AV2_FEATURES,
+    )
+    assert extra == ["intensity"]
+
+    xyz, laser, inten = _sample_points(2, 512, H, W_sensor, seed=3)
+    got = points_predict(xyz, laser, inten)
+
+    f, c, m = jax.vmap(
+        lambda p, ln, i: rasterize_points_jax(
+            p, ln, {"intensity": i},
+            height=H, width=W_sensor, feature_names=AV2_FEATURES, pad=pad,
+        )
+    )(xyz, laser, inten)
+    want = predict(f, c, m)
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cuboids), np.asarray(want.cuboids), atol=1e-6
+    )
+    assert np.isfinite(np.asarray(got.cuboids)).all()

@@ -171,3 +171,132 @@ def test_av2_converter_roundtrip(tmp_path):
     # annotations copied through
     ann = read_feather(dst / "train" / "log_a" / "annotations.feather")
     assert ann["category"][0] == "REGULAR_VEHICLE"
+
+
+def _point_cloud(n=4000, H=8, W=64, seed=11):
+    """Synthetic sensor-frame cloud whose rows are laser indices."""
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(0.3, 60.0, n)
+    az = rng.uniform(-np.pi, np.pi, n)
+    el = rng.uniform(-0.3, 0.1, n)
+    xyz = np.stack(
+        [
+            r * np.cos(el) * np.cos(az),
+            r * np.cos(el) * np.sin(az),
+            r * np.sin(el),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    laser = rng.integers(0, H, n).astype(np.int32)
+    intensity = rng.uniform(0, 255, n).astype(np.float32)
+    return xyz, laser, intensity
+
+
+def _expected_inputs(
+    xyz, laser, intensity, *, H, W, names, dataset="av2", x_stride=1, pad=0
+):
+    """Host-side reconstruction of load_sweep + _pad_and_stride."""
+    row, col, rng_ = projection.range_view_coordinates(
+        xyz, laser, height=H, width=W
+    )
+    per_point = {
+        "range": rng_.astype(np.float32),
+        "x": xyz[:, 0],
+        "y": xyz[:, 1],
+        "z": xyz[:, 2],
+        "intensity": intensity,
+        "laser": laser.astype(np.float32),
+    }
+    stack = np.stack([per_point[k] for k in sorted(per_point)], axis=-1)
+    img = projection.z_buffer_numpy(
+        row, col, rng_, stack, height=H, width=W
+    )
+    chan = {k: img[..., i] for i, k in enumerate(sorted(per_point))}
+    mask = chan["range"] > 0
+    planes = []
+    for name in names:
+        if name == "view":
+            p = np.where(mask, np.where(chan["laser"] <= 32, 2.0, 1.0), 0.0)
+        else:
+            p = chan[name]
+            if name == "intensity" and dataset == "waymo":
+                p = np.tanh(p)
+        planes.append(p.astype(np.float32))
+    feats = np.stack(planes, axis=-1) * mask[..., None]
+    cart = np.stack([chan["x"], chan["y"], chan["z"]], axis=-1)
+    spec = ((0, 0), (pad, pad), (0, 0))
+    feats = np.pad(feats, spec, mode="wrap")[:, ::x_stride]
+    cart = np.pad(cart, spec, mode="wrap")[:, ::x_stride]
+    mask = np.pad(mask, spec[:2], mode="wrap")[:, ::x_stride]
+    return feats, cart.astype(np.float32), mask
+
+
+def test_rasterize_points_jax_matches_host_path():
+    """Device rasterization == load_sweep-semantics host reconstruction."""
+    H, W = 8, 64
+    xyz, laser, intensity = _point_cloud(H=H, W=W)
+    names = ("intensity", "range", "x", "y", "z")
+    want_f, want_c, want_m = _expected_inputs(
+        xyz, laser, intensity, H=H, W=W, names=names
+    )
+    import jax
+
+    got_f, got_c, got_m = jax.jit(
+        lambda p, ln, i: projection.rasterize_points_jax(
+            p,
+            ln,
+            {"intensity": i},
+            height=H,
+            width=W,
+            feature_names=names,
+        )
+    )(xyz, laser, intensity)
+    np.testing.assert_allclose(np.asarray(got_f), want_f, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), want_c, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_m), want_m)
+
+
+def test_rasterize_points_jax_pad_stride_view_waymo():
+    """Circular pad + decimation + view channel + waymo tanh(intensity)."""
+    H, W, x_stride = 8, 64, 2
+    xyz, laser, intensity = _point_cloud(H=H, W=W, seed=13)
+    # width_padding semantics: smallest pad with (W+2p) % (16*stride) == 0.
+    from range_view_3d_detection_tpu.data.dataset import width_padding
+
+    pad = width_padding(W, x_stride)
+    names = ("view", "intensity", "range", "x", "y", "z")
+    want_f, want_c, want_m = _expected_inputs(
+        xyz, laser, intensity, H=H, W=W, names=names,
+        dataset="waymo", x_stride=x_stride, pad=pad,
+    )
+    got_f, got_c, got_m = projection.rasterize_points_jax(
+        jnp.asarray(xyz),
+        jnp.asarray(laser),
+        {"intensity": jnp.asarray(intensity)},
+        height=H,
+        width=W,
+        feature_names=names,
+        dataset_name="waymo",
+        x_stride=x_stride,
+        pad=pad,
+    )
+    assert got_f.shape == ((H, (W + 2 * pad) // x_stride, len(names)))
+    np.testing.assert_allclose(np.asarray(got_f), want_f, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), want_c, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_m), want_m)
+
+
+def test_rasterize_points_zero_padded_points_dropped():
+    """All-zero pad rows (range 0 < min_distance) never win a pixel."""
+    xyz = np.zeros((64, 3), np.float32)
+    xyz[0] = (10.0, 0.0, 1.0)
+    laser = np.zeros(64, np.int32)
+    feats, cart, mask = projection.rasterize_points_jax(
+        jnp.asarray(xyz),
+        jnp.asarray(laser),
+        {},
+        height=4,
+        width=16,
+        feature_names=("range", "x", "y", "z"),
+    )
+    assert int(np.asarray(mask).sum()) == 1

@@ -271,6 +271,82 @@ def load_artifact(
     return predict, det_cfg, dec_cfg
 
 
+def make_points_predict(
+    predict,
+    *,
+    sensor_width: int,
+    height: int,
+    feature_names,
+    dataset_name: str = "av2",
+    x_stride: int = 1,
+    padding_mode: str = "circular",
+):
+    """Compose on-device rasterization in front of a serving predict fn.
+
+    Raw sensor points in, detections out, ONE device program: spherical
+    projection + z-buffer + channel assembly (``rasterize_points_jax``)
+    fuse into the same jit as forward -> decode -> NMS. This is the
+    literal BASELINE.json north-star pipeline ("projection->NMS") as a
+    serving API; the range-image predict fn stays available for
+    pre-projected inputs (the reference's own serving contract,
+    ``tools/benchmark.py:91-122``).
+
+    Returns ``(points_predict, extra_names)``: the jitted fn takes
+    ``(xyz (B, N, 3), laser (B, N), *extras)`` with one (B, N) array per
+    ``extra_names`` entry (the non-geometric channels, e.g. intensity);
+    pad clouds to a static N with zero rows (dropped by the z-buffer's
+    min-distance gate).
+    """
+    from range_view_3d_detection_tpu.data.dataset import width_padding
+    from range_view_3d_detection_tpu.ops.projection import (
+        rasterize_points_jax,
+    )
+
+    pad = width_padding(sensor_width, x_stride)
+    derived = ("range", "x", "y", "z", "view")
+    extra = [n for n in feature_names if n not in derived]
+
+    @jax.jit
+    def points_predict(xyz, laser, *chans):
+        def rasterize(xyz1, laser1, *ch1):
+            return rasterize_points_jax(
+                xyz1,
+                laser1,
+                dict(zip(extra, ch1)),
+                height=height,
+                width=sensor_width,
+                feature_names=tuple(feature_names),
+                dataset_name=dataset_name,
+                x_stride=x_stride,
+                pad=pad,
+                padding_mode=padding_mode,
+            )
+
+        feats, cart, mask = jax.vmap(rasterize)(xyz, laser, *chans)
+        return predict(feats, cart, mask)
+
+    return points_predict, extra
+
+
+def _sample_points(B, n, H, W_sensor, seed=0):
+    """Synthetic sensor-frame clouds (the points-mode _sample_inputs)."""
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(5, 60, size=(B, n)).astype(np.float32)
+    az = rng.uniform(-np.pi, np.pi, size=(B, n)).astype(np.float32)
+    el = rng.uniform(-0.3, 0.1, size=(B, n)).astype(np.float32)
+    xyz = np.stack(
+        [
+            r * np.cos(el) * np.cos(az),
+            r * np.cos(el) * np.sin(az),
+            r * np.sin(el),
+        ],
+        axis=-1,
+    )
+    laser = rng.integers(0, H, size=(B, n)).astype(np.int32)
+    intensity = rng.uniform(0, 1, size=(B, n)).astype(np.float32)
+    return xyz, laser, intensity
+
+
 def make_chunked_predict(predict):
     """Device-resident serving loop: one dispatch runs a whole chunk.
 
@@ -282,11 +358,11 @@ def make_chunked_predict(predict):
     """
 
     @jax.jit
-    def run_chunk(feats, cart, mask):
+    def run_chunk(*args):
         def step(carry, xs):
             return carry, predict(*xs)
 
-        _, outs = jax.lax.scan(step, 0, (feats, cart, mask))
+        _, outs = jax.lax.scan(step, 0, args)
         return outs
 
     return run_chunk
@@ -301,6 +377,7 @@ def stream_bench(
     W: int,
     C: int,
     chunk: int = 0,
+    make_batch=None,
 ):
     """Batched-stream throughput: issue batches back-to-back and let JAX's
     async dispatch pipeline them.
@@ -319,16 +396,19 @@ def stream_bench(
     """
     from __graft_entry__ import _sample_inputs
 
+    if make_batch is None:
+        def make_batch(seed):
+            return _sample_inputs(batch, H, W, C, seed=seed)
+
     def sync(r):
         return float(np.asarray(jax.tree_util.tree_leaves(r)[0]).sum())
 
     if chunk > 0:
-        parts = [
-            _sample_inputs(batch, H, W, C, seed=i) for i in range(chunk)
-        ]
+        parts = [make_batch(i) for i in range(chunk)]
         stacked = jax.device_put(
             tuple(
-                np.stack([np.asarray(p[j]) for p in parts]) for j in range(3)
+                np.stack([np.asarray(p[j]) for p in parts])
+                for j in range(len(parts[0]))
             )
         )
 
@@ -356,10 +436,10 @@ def stream_bench(
         )
         return fps
 
-    batches = []
-    for i in range(4):
-        f, c, m = _sample_inputs(batch, H, W, C, seed=i)
-        batches.append(jax.device_put((np.asarray(f), np.asarray(c), np.asarray(m))))
+    batches = [
+        jax.device_put(tuple(np.asarray(a) for a in make_batch(i)))
+        for i in range(4)
+    ]
 
     for b in batches[:2]:
         sync(predict(*b))
@@ -391,6 +471,7 @@ def latency_bench(
     H: int,
     W: int,
     C: int,
+    make_batch=None,
 ):
     """Per-request latency: one dispatch, full host-readback sync per call.
 
@@ -409,15 +490,17 @@ def latency_bench(
     """
     from __graft_entry__ import _sample_inputs
 
+    if make_batch is None:
+        def make_batch(seed):
+            return _sample_inputs(batch, H, W, C, seed=seed)
+
     def sync(r):
         return float(np.asarray(jax.tree_util.tree_leaves(r)[0]).sum())
 
-    batches = []
-    for i in range(4):
-        f, c, m = _sample_inputs(batch, H, W, C, seed=i)
-        batches.append(
-            jax.device_put((np.asarray(f), np.asarray(c), np.asarray(m)))
-        )
+    batches = [
+        jax.device_put(tuple(np.asarray(a) for a in make_batch(i)))
+        for i in range(4)
+    ]
 
     for b in batches[:2]:  # compile + warm
         sync(predict(*b))
@@ -591,6 +674,27 @@ def main(argv):
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--width", type=int, default=1808)
     ap.add_argument(
+        "--points",
+        action="store_true",
+        help="with --load --bench/--latency: serve raw point clouds — "
+        "on-device projection (rasterize_points_jax) fused in front of "
+        "the forward, the full BASELINE.json projection->NMS pipeline",
+    )
+    ap.add_argument(
+        "--num-points",
+        type=int,
+        default=131072,
+        help="static cloud size for --points (AV2 sweeps carry ~107k "
+        "returns; pad rows are dropped by the z-buffer)",
+    )
+    ap.add_argument(
+        "--sensor-width",
+        type=int,
+        default=1800,
+        help="raw azimuth bins before padding/striding for --points "
+        "(AV2 1800, Waymo 2650); must pad/stride to --width",
+    )
+    ap.add_argument(
         "--nms-cap",
         type=int,
         default=1024,
@@ -632,25 +736,65 @@ def main(argv):
         predict, det_cfg, dec_cfg = load_artifact(
             Path(args.load), quantized=False if args.fp else "auto"
         )
+        batch = int(str(args.batch).split(",")[0])
+        make_batch = None
+        if args.points:
+            from range_view_3d_detection_tpu.data.dataset import (
+                AV2_FEATURES,
+                WAYMO_FEATURES,
+                width_padding,
+            )
+
+            names = (
+                AV2_FEATURES
+                if det_cfg.in_channels == len(AV2_FEATURES)
+                else WAYMO_FEATURES
+            )
+            pad = width_padding(args.sensor_width, 1)
+            if args.sensor_width + 2 * pad != args.width:
+                raise SystemExit(
+                    f"--sensor-width {args.sensor_width} pads to "
+                    f"{args.sensor_width + 2 * pad}, not --width {args.width}"
+                )
+            predict, extra = make_points_predict(
+                predict,
+                sensor_width=args.sensor_width,
+                height=args.height,
+                feature_names=names,
+            )
+            if extra and extra != ["intensity"]:
+                raise SystemExit(
+                    f"synthetic points mode only fills intensity, not {extra}"
+                )
+
+            def make_batch(seed):
+                xyz, laser, inten = _sample_points(
+                    batch, args.num_points, args.height,
+                    args.sensor_width, seed=seed,
+                )
+                return (xyz, laser, inten) if extra else (xyz, laser)
+
         if args.latency:
             latency_bench(
                 predict,
-                batch=int(str(args.batch).split(",")[0]),
+                batch=batch,
                 iters=args.iters,
                 H=args.height,
                 W=args.width,
                 C=det_cfg.in_channels,
+                make_batch=make_batch,
             )
             return
         if args.bench:
             stream_bench(
                 predict,
-                batch=int(str(args.batch).split(",")[0]),
+                batch=batch,
                 iters=args.iters,
                 H=args.height,
                 W=args.width,
                 C=det_cfg.in_channels,
                 chunk=args.chunk,
+                make_batch=make_batch,
             )
         return
 
