@@ -39,7 +39,7 @@ this module reimplements the protocol:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -118,28 +118,16 @@ def match_prefix(
     return [(i, j) for i, j in zip(r, c) if sub[i, j] >= threshold]
 
 
-class _SweepCase:
-    """Per-(sweep, category) matching state with prefix-match caching."""
+class _SweepCase(NamedTuple):
+    """Per-(sweep, category) matching inputs (all matching happens in
+    :func:`_case_band_stats`, which is pool-picklable)."""
 
-    __slots__ = ("scores", "iou", "g_range", "d_range", "g_l2", "thr", "_cache")
-
-    def __init__(self, scores, iou, g_range, d_range, g_l2, thr):
-        self.scores = scores  # descending
-        self.iou = iou  # (n_dt, n_gt)
-        self.g_range = g_range
-        self.d_range = d_range
-        self.g_l2 = g_l2
-        self.thr = thr
-        self._cache: Dict[int, List[Tuple[int, int]]] = {}
-
-    def matches_at(self, cutoff: float) -> Tuple[int, List[Tuple[int, int]]]:
-        k = int(np.searchsorted(-self.scores, -cutoff, side="right"))
-        return k, self.matches_at_k(k)
-
-    def matches_at_k(self, k: int) -> List[Tuple[int, int]]:
-        if k not in self._cache:
-            self._cache[k] = match_prefix(self.iou, k, self.thr)
-        return self._cache[k]
+    scores: np.ndarray  # descending
+    iou: np.ndarray  # (n_dt, n_gt)
+    g_range: np.ndarray
+    d_range: np.ndarray
+    g_l2: np.ndarray
+    thr: float
 
 
 def _in_band(rng: np.ndarray, lo: float, hi: float) -> np.ndarray:
@@ -204,15 +192,23 @@ def evaluate_waymo(
 
     ``workers`` parallelizes the per-(sweep, category) Hungarian solves
     over a process pool (default: ``RV3D_EVAL_WORKERS`` env var, else
-    serial). On a many-core TPU-VM host this turns the ~20-minute
-    full-val extrapolation (BENCH_NOTES.md) into wall/workers.
+    serial; pass 0 to force serial regardless of the env var). On a
+    many-core TPU-VM host this turns the ~20-minute full-val
+    extrapolation (BENCH_NOTES.md) into wall/workers.
     """
     if workers is None:
         workers = int(os.environ.get("RV3D_EVAL_WORKERS", "0") or 0)
     if workers and workers > 1:
+        import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
 
-        with ProcessPoolExecutor(max_workers=workers) as pool:
+        # forkserver, not fork: the caller is typically a JAX process
+        # (the in-training eval path), and forking a multithreaded
+        # JAX parent can deadlock the children. The forkserver parent
+        # is a fresh single-threaded process; workers re-import only
+        # this (jax-free) module.
+        ctx = multiprocessing.get_context("forkserver")
+        with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
             return _evaluate_waymo_impl(
                 dts, gts, categories, mode=mode, pool=pool, workers=workers
             )

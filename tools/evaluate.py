@@ -26,9 +26,9 @@ def main():
     ap.add_argument(
         "--workers",
         type=int,
-        default=0,
+        default=None,
         help="process-pool width for the WOD per-sweep Hungarian solves "
-        "(0 = serial; also settable via RV3D_EVAL_WORKERS)",
+        "(default: RV3D_EVAL_WORKERS env var; 0 forces serial)",
     )
     args = ap.parse_args()
 
@@ -66,7 +66,7 @@ def main():
         )
 
         metrics = evaluate_waymo(
-            dts, gts, categories, workers=args.workers or None
+            dts, gts, categories, workers=args.workers
         )
         metrics["mAP_L2"] = mean_ap(metrics, level=2)
 

@@ -101,6 +101,28 @@ def _config_to_meta(det_cfg, dec_cfg) -> dict:
     }
 
 
+def _dataset_meta_from_cfg(cfg) -> dict:
+    """Serving-relevant dataset facts for the artifact (``meta.json``
+    "dataset" key): what the raw-points frontend must reproduce so its
+    inputs match what the network saw in training (notably the padding
+    mode — wrap-padded vs zero-padded azimuth seams differ silently)."""
+    d = cfg["dataset"]["_val_dataset"]
+    rv = d["range_view_config"]
+    names = rv.get("feature_column_names") or cfg["dataset"][
+        "_train_dataset"
+    ]["range_view_config"].get(
+        "feature_column_names", ["intensity", "range", "x", "y", "z"]
+    )
+    return {
+        "dataset_name": str(d["dataset_name"]),
+        "height": int(rv["height"]),
+        "sensor_width": int(rv["width"]),
+        "x_stride": int(d.get("x_stride", 1)),
+        "padding_mode": str(d.get("padding_mode", "constant")),
+        "feature_names": list(names),
+    }
+
+
 def _detector_config_from_meta(d: dict):
     from range_view_3d_detection_tpu.models.detector import (
         DetectorConfig,
@@ -149,6 +171,7 @@ def export_artifact(
     *,
     quantize_batches=None,
     quantize_scope: str = "full",
+    dataset_meta=None,
 ) -> None:
     """Write the serving artifact; optionally add int8 PTQ scales.
 
@@ -165,9 +188,10 @@ def export_artifact(
     (out_dir / "variables.msgpack").write_bytes(
         flax.serialization.msgpack_serialize(folded)
     )
-    (out_dir / "meta.json").write_text(
-        json.dumps(_config_to_meta(det_cfg, dec_cfg))
-    )
+    meta = _config_to_meta(det_cfg, dec_cfg)
+    if dataset_meta is not None:
+        meta["dataset"] = dataset_meta
+    (out_dir / "meta.json").write_text(json.dumps(meta))
     if quantize_batches is not None:
         from range_view_3d_detection_tpu.models.detector import Detector
         from range_view_3d_detection_tpu.models.quantized import (
@@ -514,7 +538,9 @@ def latency_bench(
     walls.sort()
 
     def pct(p):
-        return walls[min(len(walls) - 1, int(p / 100 * len(walls)))]
+        # Nearest-rank percentile: ceil(p/100 * n) - 1 (0-indexed).
+        n = len(walls)
+        return walls[min(n - 1, max(0, -(-p * n // 100) - 1))]
 
     stats = {
         "latency_ms_p50": round(pct(50), 2),
@@ -692,7 +718,16 @@ def main(argv):
         type=int,
         default=1800,
         help="raw azimuth bins before padding/striding for --points "
-        "(AV2 1800, Waymo 2650); must pad/stride to --width",
+        "(AV2 1800, Waymo 2650); must pad/stride to --width. The "
+        "artifact's recorded dataset meta takes precedence when present",
+    )
+    ap.add_argument(
+        "--padding-mode",
+        default=None,
+        choices=("circular", "constant"),
+        help="width-padding mode for --points (default: the artifact's "
+        "recorded training mode, else circular — the rv flagship "
+        "configs; models trained zero-padded MUST serve zero-padded)",
     )
     ap.add_argument(
         "--nms-cap",
@@ -745,22 +780,40 @@ def main(argv):
                 width_padding,
             )
 
-            names = (
-                AV2_FEATURES
-                if det_cfg.in_channels == len(AV2_FEATURES)
-                else WAYMO_FEATURES
+            # Serving facts from the artifact (what the network trained
+            # with — notably the padding mode); CLI flags override.
+            ds_meta = json.loads(
+                (Path(args.load) / "meta.json").read_text()
+            ).get("dataset", {})
+            names = tuple(
+                ds_meta.get(
+                    "feature_names",
+                    AV2_FEATURES
+                    if det_cfg.in_channels == len(AV2_FEATURES)
+                    else WAYMO_FEATURES,
+                )
             )
-            pad = width_padding(args.sensor_width, 1)
-            if args.sensor_width + 2 * pad != args.width:
+            sensor_w = int(ds_meta.get("sensor_width", args.sensor_width))
+            height = int(ds_meta.get("height", args.height))
+            x_stride = int(ds_meta.get("x_stride", 1))
+            padding_mode = args.padding_mode or ds_meta.get(
+                "padding_mode", "circular"
+            )
+            pad = width_padding(sensor_w, x_stride)
+            if (sensor_w + 2 * pad) // x_stride != args.width:
                 raise SystemExit(
-                    f"--sensor-width {args.sensor_width} pads to "
-                    f"{args.sensor_width + 2 * pad}, not --width {args.width}"
+                    f"sensor width {sensor_w} pads/strides to "
+                    f"{(sensor_w + 2 * pad) // x_stride}, not --width "
+                    f"{args.width}"
                 )
             predict, extra = make_points_predict(
                 predict,
-                sensor_width=args.sensor_width,
-                height=args.height,
+                sensor_width=sensor_w,
+                height=height,
                 feature_names=names,
+                dataset_name=ds_meta.get("dataset_name", "av2"),
+                x_stride=x_stride,
+                padding_mode=padding_mode,
             )
             if extra and extra != ["intensity"]:
                 raise SystemExit(
@@ -769,8 +822,7 @@ def main(argv):
 
             def make_batch(seed):
                 xyz, laser, inten = _sample_points(
-                    batch, args.num_points, args.height,
-                    args.sensor_width, seed=seed,
+                    batch, args.num_points, height, sensor_w, seed=seed
                 )
                 return (xyz, laser, inten) if extra else (xyz, laser)
 
@@ -814,9 +866,28 @@ def main(argv):
             train=False,
         )
         dec_cfg = DecoderConfig(nms_cap=args.nms_cap)
+        # The synthetic flagship is rv-av2-shaped: record its serving
+        # facts when the shapes match (AV2 64x1800 pads to 1808).
+        dataset_meta = (
+            {
+                "dataset_name": "av2",
+                "height": args.height,
+                "sensor_width": 1800,
+                "x_stride": 1,
+                "padding_mode": "circular",
+                "feature_names": [
+                    "intensity", "range", "x", "y", "z",
+                ],
+            }
+            if (args.height, args.width) == (64, 1808)
+            else None
+        )
     else:
         variables, det_cfg, dec_cfg = _restore_from_run_dir(
             Path(args.run_dir)
+        )
+        dataset_meta = _dataset_meta_from_cfg(
+            json.loads((Path(args.run_dir) / "config.json").read_text())
         )
 
     quantize_batches = None
@@ -860,6 +931,7 @@ def main(argv):
         Path(args.out),
         quantize_batches=quantize_batches,
         quantize_scope=args.quantize or "full",
+        dataset_meta=dataset_meta,
     )
 
 
