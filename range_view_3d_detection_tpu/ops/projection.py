@@ -19,7 +19,7 @@ Implementations:
   north-star path) is ONE device program.
 
 On the north star's "Pallas scatter kernel": a Pallas z-buffer was
-prototyped and rejected — scatter-by-pixel is the one primitive the TPU
+considered and rejected — scatter-by-pixel is the one primitive the TPU
 vector unit cannot express (8x128 lanes write disjoint tiles, so
 colliding pixel updates serialize no matter who emits them), and a
 dense per-row candidate matrix costs H*W*N/H comparisons (~10^8/frame).

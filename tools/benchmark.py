@@ -271,6 +271,62 @@ def main(argv):
         "fps": round(1.0 / t_full, 2),
     }
 
+    # Projection stage + the full points->NMS chain (the BASELINE.json
+    # metric definition spans projection->NMS; the stages above start
+    # from pre-projected range images like the reference harness).
+    sys.path.insert(0, str(REPO / "tools"))
+    from export import _dataset_meta_from_cfg, _sample_points
+
+    from range_view_3d_detection_tpu.data.dataset import width_padding
+    from range_view_3d_detection_tpu.ops.projection import (
+        rasterize_points_jax,
+    )
+
+    ds_meta = _dataset_meta_from_cfg(cfg)
+    derived = ("range", "x", "y", "z", "view")
+    extras = [n for n in ds_meta["feature_names"] if n not in derived]
+    if extras == ["intensity"]:
+        pad = width_padding(ds_meta["sensor_width"], ds_meta["x_stride"])
+        n_pts = int(
+            next(
+                (a.split("=")[1] for a in argv if a.startswith("--points=")),
+                131072 if ds_meta["sensor_width"] >= 1800 else 32768,
+            )
+        )
+        xyz, laser, inten = _sample_points(
+            1, n_pts, ds_meta["height"], ds_meta["sensor_width"]
+        )
+
+        def rasterize(x1, l1, i1):
+            return rasterize_points_jax(
+                x1,
+                l1,
+                {"intensity": i1},
+                height=ds_meta["height"],
+                width=ds_meta["sensor_width"],
+                feature_names=tuple(ds_meta["feature_names"]),
+                dataset_name=ds_meta["dataset_name"],
+                x_stride=ds_meta["x_stride"],
+                pad=pad,
+                padding_mode=ds_meta["padding_mode"],
+            )
+
+        proj = jax.jit(jax.vmap(rasterize))
+        points_full = jax.jit(
+            lambda v, x, l, i: decode(
+                model.apply(v, *jax.vmap(rasterize)(x, l, i), train=False),
+                dec_cfg,
+                tasks,
+                use_nms=True,
+            )
+        )
+        t_proj = bench(proj, xyz, laser, inten)
+        t_pts = bench(points_full, variables, xyz, laser, inten)
+        report["projection_ms"] = round(t_proj * 1e3, 3)
+        report["points_e2e_ms"] = round(t_pts * 1e3, 3)
+        report["points_fps"] = round(1.0 / t_pts, 2)
+        report["num_points"] = n_pts
+
     pred_dir = trainer.validate()
     metrics = evaluate_predictions(
         pred_dir,
