@@ -26,9 +26,9 @@ dense per-row candidate matrix costs H*W*N/H comparisons (~10^8/frame).
 The TPU-native answer is the same one the stem kernel found for its
 unfold: reformulate around the MXU/sort units. One ``lax.sort`` of
 (pixel, range) keys resolves every collision in O(N log N) with no
-serialization; at AV2 scale (N~10^5) the whole rasterization measures
-in the hundreds of microseconds, <2% of the serving forward (see
-BENCH_NOTES.md round-4).
+serialization; at AV2 scale (N~10^5) the rasterization is a small
+fraction of the serving forward (measured per-stage by
+``tools/benchmark.py``'s projection rows; BENCH_NOTES.md round-4).
 """
 
 from __future__ import annotations
