@@ -316,3 +316,47 @@ def test_points_predict_end_to_end(tmp_path):
         np.asarray(got.cuboids), np.asarray(want.cuboids), atol=1e-6
     )
     assert np.isfinite(np.asarray(got.cuboids)).all()
+
+def test_artifact_dataset_meta_roundtrip(tmp_path):
+    """Dataset serving facts ship in meta.json and drive the points
+    frontend defaults (padding-mode provenance)."""
+    import json as _json
+
+    from export import _dataset_meta_from_cfg, export_artifact
+
+    from range_view_3d_detection_tpu.models.decoder import DecoderConfig
+    from range_view_3d_detection_tpu.models.detector import Detector
+
+    cfg = _small_cfg()
+    model = Detector(cfg)
+    feats, cart, mask = _inputs()
+    variables = model.init(
+        jax.random.PRNGKey(0), feats, cart, mask, train=False
+    )
+    run_cfg = {
+        "dataset": {
+            "_train_dataset": {"range_view_config": {}},
+            "_val_dataset": {
+                "dataset_name": "av2",
+                "x_stride": 2,
+                "padding_mode": "constant",
+                "range_view_config": {
+                    "height": 16,
+                    "width": 60,
+                    "feature_column_names": [
+                        "intensity", "range", "x", "y", "z",
+                    ],
+                },
+            },
+        }
+    }
+    meta = _dataset_meta_from_cfg(run_cfg)
+    assert meta["padding_mode"] == "constant"
+    assert meta["sensor_width"] == 60 and meta["x_stride"] == 2
+
+    export_artifact(
+        variables, cfg, DecoderConfig(nms_cap=64), tmp_path / "art",
+        dataset_meta=meta,
+    )
+    on_disk = _json.loads((tmp_path / "art" / "meta.json").read_text())
+    assert on_disk["dataset"] == meta
