@@ -360,3 +360,46 @@ def test_artifact_dataset_meta_roundtrip(tmp_path):
     )
     on_disk = _json.loads((tmp_path / "art" / "meta.json").read_text())
     assert on_disk["dataset"] == meta
+
+def test_width_sharded_serving_matches_plain(tmp_path):
+    """Multi-chip latency mode: width-sharded predict == plain predict."""
+    from export import (
+        export_artifact,
+        load_artifact,
+        load_artifact_width_sharded,
+    )
+
+    from range_view_3d_detection_tpu.models.decoder import DecoderConfig
+    from range_view_3d_detection_tpu.models.detector import Detector
+    from range_view_3d_detection_tpu.parallel import make_mesh
+
+    cfg = _small_cfg()
+    model = Detector(cfg)
+    feats, cart, mask = _inputs(H=16, W=64)
+    variables = model.init(
+        jax.random.PRNGKey(4), feats, cart, mask, train=False
+    )
+    export_artifact(
+        variables, cfg, DecoderConfig(nms_cap=64, num_post_nms=16),
+        tmp_path / "art",
+    )
+
+    predict, _, _ = load_artifact(tmp_path / "art", cache=False)
+    want = predict(feats, cart, mask)
+
+    mesh = make_mesh(num_data=1, num_model=4)
+    sharded, place, det_cfg2, _ = load_artifact_width_sharded(
+        tmp_path / "art", mesh, circular=False, cache=False
+    )
+    assert det_cfg2 == cfg
+    got = sharded(*place(feats, cart, mask))
+
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.cuboids), np.asarray(want.cuboids), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.keep), np.asarray(want.keep)
+    )

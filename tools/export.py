@@ -29,6 +29,7 @@ import json
 import sys
 import time
 from pathlib import Path
+from typing import Optional
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -293,6 +294,75 @@ def load_artifact(
         return decode(out, dec_cfg, tasks, use_nms=use_nms)
 
     return predict, det_cfg, dec_cfg
+
+
+def load_artifact_width_sharded(
+    art_dir: Path,
+    mesh,
+    *,
+    use_nms: bool = True,
+    circular: Optional[bool] = None,
+    cache: bool = True,
+):
+    """Minimum-latency serving: ONE request's azimuth axis sharded over
+    the mesh's ``model`` axis (``parallel/spatial.py`` exact per-op halo
+    exchange), decode + NMS on the gathered outputs in the same jit.
+
+    The throughput path (`load_artifact`) keeps whole frames per chip and
+    scales with the ``data`` axis; this path cuts single-request latency
+    by ~the model-axis size instead — the TPU analog of the reference's
+    batch-1 fp16 latency mode (``tools/benchmark.py:91-122``), but over
+    multiple chips. fp only (the int8 trace quantizes inside the
+    shard_map body, which is untested — ship scales are ignored here).
+
+    ``circular``: wrap the azimuth seam; defaults to the artifact's
+    recorded padding mode (circular = wrap-padded training).
+    """
+    import flax.serialization
+
+    from range_view_3d_detection_tpu.models.decoder import decode
+    from range_view_3d_detection_tpu.models.detector import Detector
+    from range_view_3d_detection_tpu.parallel.spatial import (
+        width_sharded_apply,
+        width_shardings,
+    )
+
+    art_dir = Path(art_dir)
+    if cache:
+        enable_compile_cache(art_dir / "xla_cache")
+    meta = json.loads((art_dir / "meta.json").read_text())
+    det_cfg = _detector_config_from_meta(meta["detector_config"])
+    dec_cfg = _decoder_config_from_meta(meta["decoder_config"])
+    if circular is None:
+        circular = (
+            meta.get("dataset", {}).get("padding_mode", "circular")
+            == "circular"
+        )
+    variables = flax.serialization.msgpack_restore(
+        (art_dir / "variables.msgpack").read_bytes()
+    )
+    model = Detector(det_cfg)
+    tasks = det_cfg.tasks_dict
+    sharded_apply = width_sharded_apply(
+        model, mesh, circular=circular, train=False
+    )
+
+    @jax.jit
+    def predict(feats, cart, mask):
+        out = sharded_apply(variables, feats, cart, mask)
+        return decode(out, dec_cfg, tasks, use_nms=use_nms)
+
+    r4, r3 = width_shardings(mesh)
+
+    def place(feats, cart, mask):
+        """Shard one request's inputs width-wise onto the mesh."""
+        return (
+            jax.device_put(feats, r4),
+            jax.device_put(cart, r4),
+            jax.device_put(mask, r3),
+        )
+
+    return predict, place, det_cfg, dec_cfg
 
 
 def make_points_predict(
