@@ -17,6 +17,7 @@ back to the bf16 path if quantization fails on this backend.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -27,6 +28,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import jax
 
 BASELINE_FPS = 2000.0
+
+# RV3D_BENCH_POINTS=1 measures from raw point clouds: on-device
+# rasterization (ops/projection.py) fused in front of the forward — the
+# literal BASELINE.json "projection->NMS" span. Default measures from
+# pre-projected range images (the reference harness's serving contract).
+BENCH_POINTS = os.environ.get("RV3D_BENCH_POINTS", "") == "1"
 
 
 def main() -> None:
@@ -76,14 +83,47 @@ def main() -> None:
         # fetching the last result drains the in-order execution queue.
         return float(jax.tree_util.tree_leaves(r)[0].sum())
 
+    bench_args = (feats, cart, mask)
+    if BENCH_POINTS:
+        import jax.numpy as jnp
+
+        from range_view_3d_detection_tpu.data.dataset import width_padding
+        from range_view_3d_detection_tpu.ops.projection import (
+            rasterize_points_jax,
+        )
+        from tools.export import _sample_points
+
+        sensor_w, n_pts = 1800, 131072
+        pad = width_padding(sensor_w, 1)
+        names = ("intensity", "range", "x", "y", "z")
+
+        def rasterize(x1, l1, i1):
+            return rasterize_points_jax(
+                x1, l1, {"intensity": i1},
+                height=64, width=sensor_w, feature_names=names, pad=pad,
+            )
+
+        def with_points_frontend(inner):
+            @jax.jit
+            def pts_pipeline(xyz, laser, inten):
+                return inner(*jax.vmap(rasterize)(xyz, laser, inten))
+
+            return pts_pipeline
+
+        bench_args = tuple(
+            jnp.asarray(a) for a in _sample_points(batch, n_pts, 64, sensor_w)
+        )
+
     if pipeline is not None:
         # Compile + warm up the int8 path INSIDE the fallback guard: the
         # quantized conv (int8 operands, int32 accumulation) may fail to
         # lower/execute on backends where the fp calibration forward ran
         # fine — that must also land on the bf16 fallback.
+        if BENCH_POINTS:
+            pipeline = with_points_frontend(pipeline)
         try:
             for _ in range(3):
-                sync(pipeline(feats, cart, mask))
+                sync(pipeline(*bench_args))
         except Exception:  # pragma: no cover - backend-specific fallback
             traceback.print_exc()
             pipeline = None
@@ -96,8 +136,10 @@ def main() -> None:
             return decode(out, dec_cfg, tasks, use_nms=True)
 
         pipeline = pipeline_fp
+        if BENCH_POINTS:
+            pipeline = with_points_frontend(pipeline_fp)
         for _ in range(3):
-            sync(pipeline(feats, cart, mask))
+            sync(pipeline(*bench_args))
 
     # Chunked loop: a bounded in-flight queue (deep queues exhaust HBM
     # workspace), synced by host readback per chunk. The per-chunk readback
@@ -105,7 +147,7 @@ def main() -> None:
     iters, chunk = 24, 6
     t0 = time.perf_counter()
     for i in range(iters):
-        res = pipeline(feats, cart, mask)
+        res = pipeline(*bench_args)
         if (i + 1) % chunk == 0:
             sync(res)
     dt = time.perf_counter() - t0
