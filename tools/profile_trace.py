@@ -85,6 +85,14 @@ def main():
     ap.add_argument("--width", type=int, default=1808)
     ap.add_argument("--decode", action="store_true", help="trace decode+NMS too")
     ap.add_argument(
+        "--points",
+        action="store_true",
+        help="trace from raw clouds: on-device rasterization "
+        "(rasterize_points_jax) fused in front of the forward "
+        "(implies --decode; flagship AV2 geometry)",
+    )
+    ap.add_argument("--num-points", type=int, default=131072)
+    ap.add_argument(
         "--quantized",
         nargs="?",
         const="full",
@@ -144,10 +152,49 @@ def main():
             fwd = jax.jit(
                 lambda v, a, b, d: apply_fn(v, a, b, d, train=False)
             )
-        out = fwd(variables, f, c, m)
+        run_args = (f, c, m)
+        if args.points:
+            from range_view_3d_detection_tpu.data.dataset import (
+                width_padding,
+            )
+            from range_view_3d_detection_tpu.ops.projection import (
+                rasterize_points_jax,
+            )
+
+            sys.path.insert(0, str(Path(__file__).resolve().parent))
+            from export import _sample_points
+
+            sensor_w = 1800
+            pad = width_padding(sensor_w, 1)
+
+            def rasterize(x1, l1, i1):
+                return rasterize_points_jax(
+                    x1, l1, {"intensity": i1},
+                    height=args.height, width=sensor_w,
+                    feature_names=("intensity", "range", "x", "y", "z"),
+                    pad=pad,
+                )
+
+            dec = DecoderConfig(nms_cap=1024)
+            fwd = jax.jit(
+                lambda v, x, l, i: decode(
+                    apply_fn(
+                        v, *jax.vmap(rasterize)(x, l, i), train=False
+                    ),
+                    dec,
+                    cfg.tasks_dict,
+                    use_nms=True,
+                )
+            )
+            run_args = tuple(
+                _sample_points(
+                    args.batch, args.num_points, args.height, sensor_w
+                )
+            )
+        out = fwd(variables, *run_args)
         float(jax.tree_util.tree_leaves(out)[0].sum())
         with jax.profiler.trace(args.out):
-            out = fwd(variables, f, c, m)
+            out = fwd(variables, *run_args)
             float(jax.tree_util.tree_leaves(out)[0].sum())
     summarize(args.out)
 
