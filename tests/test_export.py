@@ -403,3 +403,51 @@ def test_width_sharded_serving_matches_plain(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(got.keep), np.asarray(want.keep)
     )
+
+def test_points_predict_waymo_extras_ordering():
+    """Two extra channels (elongation, intensity) map to the right
+    feature planes through make_points_predict's arg ordering."""
+    from export import make_points_predict
+
+    from range_view_3d_detection_tpu.data.dataset import (
+        WAYMO_FEATURES,
+        width_padding,
+    )
+
+    H, W_sensor = 4, 28  # pads to 32
+    pad = width_padding(W_sensor, 1)
+
+    def fake_predict(feats, cart, mask):
+        return feats  # the jitted output IS the assembled feature image
+
+    points_predict, extra = make_points_predict(
+        fake_predict,
+        sensor_width=W_sensor,
+        height=H,
+        feature_names=WAYMO_FEATURES,
+        dataset_name="waymo",
+    )
+    assert extra == ["elongation", "intensity"]
+
+    n = 16
+    rng = np.random.default_rng(0)
+    r = rng.uniform(5, 20, (1, n)).astype(np.float32)
+    az = rng.uniform(-np.pi, np.pi, (1, n)).astype(np.float32)
+    xyz = np.stack(
+        [r * np.cos(az), r * np.sin(az), np.zeros_like(r)], axis=-1
+    )
+    laser = rng.integers(0, H, (1, n)).astype(np.int32)
+    elong = np.full((1, n), 7.0, np.float32)
+    inten = np.full((1, n), 0.25, np.float32)
+    feats = np.asarray(points_predict(xyz, laser, elong, inten))[0]
+    mask = feats[..., WAYMO_FEATURES.index("range")] > 0
+    # elongation plane carries 7s; intensity plane carries tanh(0.25).
+    np.testing.assert_allclose(
+        feats[..., WAYMO_FEATURES.index("elongation")][mask], 7.0
+    )
+    np.testing.assert_allclose(
+        feats[..., WAYMO_FEATURES.index("intensity")][mask],
+        np.tanh(0.25),
+        atol=1e-6,
+    )
+    assert feats.shape == (H, W_sensor + 2 * pad, len(WAYMO_FEATURES))
