@@ -91,11 +91,33 @@ class TorchConvTranspose(nn.Module):
             )
         in_scale = (
             self.get_variable("quant", "in_scale")
-            if qmode == "int8" and self.has_variable("quant", "in_scale")
+            if qmode in ("int8", "qat")
+            and self.has_variable("quant", "in_scale")
             else None
         )
 
         def deconv(xin: Array, pad_hw) -> Array:
+            if in_scale is not None and qmode == "qat":
+                # STE fake-quant twin of the int8 branch below (QAT
+                # fine-tuning; models/quantized.py::fake_quant).
+                w = kernel.astype(jnp.float32)
+                w_fq = quantized.fake_quant(
+                    w,
+                    jax.lax.stop_gradient(
+                        quantized.weight_scale_per_channel(w)
+                    ),
+                )
+                x_fq = quantized.fake_quant(
+                    xin.astype(jnp.float32), in_scale
+                )
+                return jax.lax.conv_general_dilated(
+                    x_fq,
+                    w_fq,
+                    window_strides=(1, 1),
+                    padding=pad_hw,
+                    lhs_dilation=(sh, sw),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ).astype(self.dtype)
             if in_scale is not None:
                 w = kernel.astype(jnp.float32)
                 w_scale = jnp.maximum(
@@ -212,10 +234,14 @@ class ConvNormAct(nn.Module):
                 x, pw_lo, pw_hi, ctx.axis, circular=ctx.circular
             )
             pw_lo = pw_hi = 0
-        # Serving-time PTQ hooks (models/quantized.py): BN-bearing blocks
-        # sow input absmax under "calib"; under "int8" a block whose scope
-        # ships an in_scale runs the int8 conv in place of the fp one.
-        qmode = quantized.mode() if self.norm and not train else None
+        # Quantization hooks (models/quantized.py): BN-bearing blocks sow
+        # input absmax under "calib"; under "int8" a block whose scope
+        # ships an in_scale runs the int8 conv in place of the fp one;
+        # under "qat" (train or eval) it runs the STE fake-quant twin so
+        # fine-tuning sees serving-time quantization error.
+        qmode = quantized.mode() if self.norm else None
+        if train and qmode in ("calib", "int8"):
+            qmode = None  # calib/int8 are eval-trace-only
         if qmode == "calib":
             self.sow(
                 "quant_stats",
@@ -224,8 +250,11 @@ class ConvNormAct(nn.Module):
                 init_fn=lambda: jnp.zeros((), jnp.float32),
                 reduce_fn=jnp.maximum,
             )
-        if qmode == "int8" and self.has_variable("quant", "in_scale"):
-            y = quantized.Int8Conv(
+        if qmode in ("int8", "qat") and self.has_variable("quant", "in_scale"):
+            conv_cls = (
+                quantized.Int8Conv if qmode == "int8" else quantized.QATConv
+            )
+            y = conv_cls(
                 features=self.features,
                 kernel_size=_pair(self.kernel_size),
                 strides=_pair(self.strides),

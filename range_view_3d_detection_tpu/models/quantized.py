@@ -48,7 +48,7 @@ Pytree = Any
 
 _INT8_MAX = 127.0
 
-_MODE: Optional[str] = None  # None | "calib" | "int8"
+_MODE: Optional[str] = None  # None | "calib" | "int8" | "qat"
 
 
 def mode() -> Optional[str]:
@@ -58,10 +58,11 @@ def mode() -> Optional[str]:
 
 @contextmanager
 def quantization(m: Optional[str]):
-    """Enable calibration ("calib") or int8 serving ("int8") for traces
-    performed inside the context."""
+    """Enable calibration ("calib"), int8 serving ("int8"), or
+    quantization-aware fine-tuning ("qat") for traces performed inside
+    the context."""
     global _MODE
-    if m not in (None, "calib", "int8"):
+    if m not in (None, "calib", "int8", "qat"):
         raise ValueError(f"unknown quantization mode: {m!r}")
     prev, _MODE = _MODE, m
     try:
@@ -123,6 +124,76 @@ class Int8Conv(nn.Module):
             preferred_element_type=jnp.int32,
         )
         y = acc.astype(jnp.float32) * (in_scale * w_scale)
+        if self.use_bias:
+            bias = self.param(
+                "bias", self.bias_init, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def fake_quant(x: Array, scale: Array) -> Array:
+    """Quantize-dequantize with a straight-through estimator.
+
+    Forward value is ``scale * clip(round(x / scale), ±127)`` — exactly
+    the value the int8 serving path reconstructs after dequantization —
+    while the gradient passes through unchanged (the STE), so weights
+    keep training across the non-differentiable rounding.
+    """
+    q = jnp.clip(jnp.round(x / scale), -_INT8_MAX, _INT8_MAX) * scale
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def weight_scale_per_channel(w: Array) -> Array:
+    """Per-output-channel symmetric int8 scale for an HWIO kernel —
+    the same formula ``Int8Conv`` uses at serving time."""
+    return jnp.maximum(
+        jnp.max(jnp.abs(w), axis=(0, 1, 2)) / _INT8_MAX, 1e-12
+    )
+
+
+class QATConv(nn.Module):
+    """Fake-quantized twin of :class:`Int8Conv` for QAT fine-tuning.
+
+    Same parameter names/shapes/initializers as ``nn.Conv`` (construct
+    with ``name="Conv_0"``), but the forward runs in fp on STE
+    quantize-dequantized input + weights: the forward VALUES match the
+    int8 serving path bit-for-bit in exact arithmetic (both compute
+    ``(s_x s_w) * (round(x/s_x) ⊛ round(w/s_w))``; only the accumulation
+    dtype differs), while gradients flow to the fp master weights.
+    Weight scales track the live weights (recomputed per step, gradient
+    stopped); the activation scale is the frozen calibrated ``in_scale``.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    use_bias: bool
+    kernel_init: Any
+    bias_init: Any
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array, in_scale: Array) -> Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (kh, kw, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        w = kernel.astype(jnp.float32)
+        w_fq = fake_quant(w, jax.lax.stop_gradient(weight_scale_per_channel(w)))
+        x_fq = fake_quant(x.astype(jnp.float32), in_scale)
+        y = jax.lax.conv_general_dilated(
+            x_fq,
+            w_fq,
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
         if self.use_bias:
             bias = self.param(
                 "bias", self.bias_init, (self.features,), self.param_dtype

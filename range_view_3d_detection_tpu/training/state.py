@@ -66,14 +66,41 @@ def create_state(
     )
 
 
-def make_train_step(config: DetectorConfig, tx: optax.GradientTransformation):
+def make_train_step(
+    config: DetectorConfig,
+    tx: optax.GradientTransformation,
+    *,
+    quant_tree: Any = None,
+):
+    """Jitted train step; with ``quant_tree`` (a calibrated ``quant``
+    collection, models/quantized.py) the forward runs under the "qat"
+    context — STE fake-quant on every scale-bearing conv — so fine-tuning
+    optimizes the weights against serving-time int8 quantization error.
+    Scales stay frozen (standard QAT practice: ranges fixed, weights
+    adapt); only params train."""
     model = Detector(config)
 
     def apply_model(params, batch_stats, features, cart, mask):
         # Per-stage rematerialization (config.remat) is wired inside the
         # modules via nn.remat.
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quant_tree is not None:
+            variables["quant"] = quant_tree
+            from range_view_3d_detection_tpu.models.quantized import (
+                quantization,
+            )
+
+            with quantization("qat"):
+                return model.apply(
+                    variables,
+                    features,
+                    cart,
+                    mask,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
         return model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            variables,
             features,
             cart,
             mask,

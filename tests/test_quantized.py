@@ -157,6 +157,121 @@ def test_scope_filter_heads_only():
         assert rms / ref < 0.05, (key, rms, ref)
 
 
+def test_fake_quant_ste():
+    """fake_quant's forward is the int8 reconstruction grid; its gradient
+    is identity (straight-through estimator)."""
+    from range_view_3d_detection_tpu.models.quantized import fake_quant
+
+    x = jnp.asarray([0.03, -0.549, 2.0, -200.0])
+    s = jnp.float32(0.1)
+    got = np.asarray(fake_quant(x, s))
+    want = np.clip(np.round(np.asarray(x) / 0.1), -127, 127) * 0.1
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    g = jax.grad(lambda v: fake_quant(v, s).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_qat_conv_matches_int8_conv():
+    """Module-level contract: on the SAME input + scales, QATConv's fp
+    STE reconstruction equals Int8Conv's int32-accumulate + dequant to
+    fp32 accumulation noise. (End-to-end the two forwards drift apart
+    by CASCADED requantization-boundary flips — an ε difference entering
+    a downstream conv can round to a different int8 step — which the
+    e2e test below bounds separately.)"""
+    import flax.linen as nn
+
+    from range_view_3d_detection_tpu.models.quantized import (
+        Int8Conv,
+        QATConv,
+    )
+
+    rng = np.random.default_rng(3)
+    cin, cout = 16, 16
+    w = rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.2
+    x = rng.normal(size=(1, 8, 16, cin)).astype(np.float32) * 2.0
+    s_in = jnp.float32(np.abs(x).max() / 127.0)
+    kw = dict(
+        features=cout,
+        kernel_size=(3, 3),
+        strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        use_bias=False,
+        kernel_init=nn.initializers.zeros,
+        bias_init=nn.initializers.zeros,
+        dtype=jnp.float32,
+        param_dtype=jnp.float32,
+    )
+    vars_ = {"params": {"kernel": w}}
+    got_i8 = np.asarray(Int8Conv(**kw).apply(vars_, jnp.asarray(x), s_in))
+    got_qat = np.asarray(QATConv(**kw).apply(vars_, jnp.asarray(x), s_in))
+    np.testing.assert_allclose(got_qat, got_i8, rtol=1e-5, atol=1e-5)
+
+
+def test_qat_forward_tracks_int8_serving():
+    """End-to-end, the "qat" eval forward must track the int8 serving
+    forward MORE closely than the fp forward does (it models the same
+    quantized math; the residual is cascaded boundary flips — measured
+    ~3% rel RMS on this random-init net vs ~7% for fp-vs-int8), and stay
+    within the int8-vs-fp certification bound."""
+    from range_view_3d_detection_tpu.models.quantized import (
+        calibrate_scales,
+        quantization,
+    )
+
+    cfg, model, folded = _folded_model()
+    qtree = calibrate_scales(model, folded, [_inputs(seed=s) for s in range(2)])
+    f, c, m = _inputs(seed=5)
+    got_fp = model.apply(folded, f, c, m, train=False)
+    with quantization("int8"):
+        got_i8 = model.apply({**folded, "quant": qtree}, f, c, m, train=False)
+    with quantization("qat"):
+        got_qat = model.apply({**folded, "quant": qtree}, f, c, m, train=False)
+    for key in ("logits", "regressands"):
+        b = np.asarray(got_i8["head"][1][0][key])
+        a = np.asarray(got_qat["head"][1][0][key])
+        fp = np.asarray(got_fp["head"][1][0][key])
+        rms_qat = np.sqrt(np.mean((a - b) ** 2))
+        rms_fp = np.sqrt(np.mean((fp - b) ** 2))
+        ref = np.sqrt(np.mean(b**2)) + 1e-9
+        assert rms_qat / ref < 0.10, (key, rms_qat, ref)
+        assert rms_qat < rms_fp * 0.8, (key, rms_qat, rms_fp)
+
+
+def test_qat_train_step_overfits():
+    """make_train_step(quant_tree=...) runs the STE fake-quant forward:
+    loss must still decrease under QAT (gradients flow through the
+    rounding), proving the fine-tune path trains."""
+    from test_model import tiny_batch, tiny_config
+
+    from range_view_3d_detection_tpu.models.detector import Detector
+    from range_view_3d_detection_tpu.models.quantized import (
+        calibrate_scales,
+    )
+    from range_view_3d_detection_tpu.training import (
+        optim,
+        state as state_lib,
+    )
+
+    cfg = tiny_config()
+    batch = tiny_batch()
+    tx, _ = optim.make_optimizer(1e-3, 100, debug=True)
+    st = state_lib.create_state(jax.random.PRNGKey(0), cfg, tx, batch)
+    model = Detector(cfg)
+    qtree = calibrate_scales(
+        model,
+        {"params": st.params, "batch_stats": st.batch_stats},
+        [(batch["features"], batch["cart"], batch["mask"])],
+    )
+    step = state_lib.make_train_step(cfg, tx, quant_tree=qtree)
+    st1, m0 = step(jax.tree_util.tree_map(jnp.copy, st), batch)
+    losses = [float(m0["loss"])]
+    for _ in range(40):
+        st1, m = step(st1, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses[::10]
+    assert losses[-1] < losses[0] * 0.6, losses[::10]
+
+
 def test_quantized_artifact_roundtrip(tmp_path):
     """--quantize export ships quant.msgpack; loading takes the int8 path
     by default and its decoded detections track the fp path."""

@@ -172,6 +172,7 @@ def export_artifact(
     *,
     quantize_batches=None,
     quantize_scope: str = "full",
+    quantize_scales=None,
     dataset_meta=None,
 ) -> None:
     """Write the serving artifact; optionally add int8 PTQ scales.
@@ -181,6 +182,9 @@ def export_artifact(
     BN-folded model (models/quantized.py) and shipped as ``quant.msgpack``;
     loading then defaults to the int8 serving path. ``quantize_scope``:
     "full" (backbone + heads) or "heads" (towers only).
+    ``quantize_scales``: ship this precomputed ``quant`` tree verbatim
+    instead of recalibrating (QAT flow: the scales the fine-tune froze
+    must be the scales served).
     """
     import flax.serialization
 
@@ -193,7 +197,11 @@ def export_artifact(
     if dataset_meta is not None:
         meta["dataset"] = dataset_meta
     (out_dir / "meta.json").write_text(json.dumps(meta))
-    if quantize_batches is not None:
+    if quantize_scales is not None:
+        (out_dir / "quant.msgpack").write_bytes(
+            flax.serialization.msgpack_serialize(quantize_scales)
+        )
+    elif quantize_batches is not None:
         from range_view_3d_detection_tpu.models.detector import Detector
         from range_view_3d_detection_tpu.models.quantized import (
             calibrate_scales,

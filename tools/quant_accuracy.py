@@ -51,6 +51,62 @@ def _predict_split(predict, loader, categories, dst: Path) -> None:
             write_feather(dst / f"{log_id}_{ts}.feather", shard)
 
 
+def _qat_finetune(variables, det_cfg, cfg, qtree, *, steps: int, lr: float):
+    """STE fake-quant fine-tune (frozen activation scales, live weights).
+
+    Runs ``steps`` ordinary train steps whose forward goes through the
+    "qat" context (models/quantized.py): every scale-bearing conv sees
+    its serving-time quantize-dequantize error, so the optimizer moves
+    the weights to compensate. Returns the fine-tuned variables.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from range_view_3d_detection_tpu.data.dataset import (
+        DataLoader,
+        RangeViewDataset,
+    )
+    from range_view_3d_detection_tpu.training.builders import (
+        build_dataset_config,
+    )
+    from range_view_3d_detection_tpu.training.state import (
+        TrainState,
+        make_train_step,
+    )
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(35.0), optax.adamw(learning_rate=lr)
+    )
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+    step_fn = make_train_step(det_cfg, tx, quant_tree=qtree)
+
+    ds = RangeViewDataset(build_dataset_config(cfg, "train"))
+    batch_size = int(cfg["model"]["batch_size"])
+    done = 0
+    while done < steps:
+        for batch in DataLoader(ds, batch_size, shuffle=True, drop_last=True):
+            arrays = {
+                k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+            }
+            state, metrics = step_fn(state, arrays)
+            done += 1
+            if done % 10 == 0 or done == 1:
+                print(f"qat step {done}/{steps} loss={float(metrics['loss']):.4f}")
+            if done >= steps:
+                break
+    return {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+
+
 def main(argv):
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-dir", required=True)
@@ -59,9 +115,24 @@ def main(argv):
         "--scope", default="full", choices=("full", "heads")
     )
     ap.add_argument("--calib-batches", type=int, default=2)
+    ap.add_argument(
+        "--qat-steps",
+        type=int,
+        default=0,
+        help="quantization-aware fine-tune steps before the int8 export "
+        "(STE fake-quant forward, frozen activation scales; "
+        "training/state.py::make_train_step(quant_tree=...)); adds an "
+        "int8_qat row to the comparison",
+    )
+    ap.add_argument("--qat-lr", type=float, default=1e-4)
     args = ap.parse_args(argv)
 
-    from export import _restore_from_run_dir, export_artifact, load_artifact
+    from export import (
+        _restore_from_run_dir,
+        export_artifact,
+        fold_batch_norms,
+        load_artifact,
+    )
 
     from range_view_3d_detection_tpu.data.dataset import (
         DataLoader,
@@ -94,21 +165,50 @@ def main(argv):
         if len(calib) >= args.calib_batches:
             break
 
+    # Calibrate ONCE on the BN-folded eval model; the same frozen scales
+    # feed the PTQ export, the QAT fine-tune, and the QAT export (QAT's
+    # contract: the scales the fine-tune optimized against are the
+    # scales served).
+    import jax
+
+    from range_view_3d_detection_tpu.models.detector import Detector
+    from range_view_3d_detection_tpu.models.quantized import (
+        calibrate_scales,
+        filter_scope,
+    )
+
+    model = Detector(det_cfg)
+    folded = fold_batch_norms(jax.device_get(variables))
+    qtree = filter_scope(
+        calibrate_scales(model, folded, calib), args.scope
+    )
+
     art = out / "artifact"
     export_artifact(
-        variables,
-        det_cfg,
-        dec_cfg,
-        art,
-        quantize_batches=calib,
-        quantize_scope=args.scope,
+        variables, det_cfg, dec_cfg, art, quantize_scales=qtree
     )
+
+    runs = [("fp", art, False), ("int8", art, "auto")]
+    if args.qat_steps > 0:
+        qat_vars = _qat_finetune(
+            variables,
+            det_cfg,
+            cfg,
+            qtree,
+            steps=args.qat_steps,
+            lr=args.qat_lr,
+        )
+        art_qat = out / "artifact_qat"
+        export_artifact(
+            qat_vars, det_cfg, dec_cfg, art_qat, quantize_scales=qtree
+        )
+        runs.append(("int8_qat", art_qat, "auto"))
 
     eval_cfg = detection_cfg_factory(cfg["dataset"].get("dataset_name", "av2"))
     gt_dir = Path(cfg["dataset"]["root_dir"]) / val_split
     results = {}
-    for name, quantized in (("fp", False), ("int8", "auto")):
-        predict, _, _ = load_artifact(art, quantized=quantized)
+    for name, art_dir, quantized in runs:
+        predict, _, _ = load_artifact(art_dir, quantized=quantized)
         dst = out / f"predictions_{name}"
         loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False)
         _predict_split(predict, loader, categories, dst)
@@ -121,23 +221,38 @@ def main(argv):
             dataset_name=eval_cfg.dataset_name,
         )
 
-    rows = sorted(set(results["fp"]) | set(results["int8"]))
-    print(f"{'category':30s} {'AP fp':>8s} {'AP q':>8s} {'CDS fp':>8s} {'CDS q':>8s}")
-    deltas_ap, deltas_cds = [], []
+    names = [name for name, _, _ in runs]
+    rows = sorted(set().union(*(results[n] for n in names)))
+    hdr = " ".join(
+        f"{'AP ' + n:>10s} {'CDS ' + n:>10s}" for n in names
+    )
+    print(f"{'category':30s} {hdr}")
+    deltas = {n: {"AP": [], "CDS": []} for n in names[1:]}
     for r in rows:
-        fp, q = results["fp"].get(r, {}), results["int8"].get(r, {})
-        ap_f, ap_q = fp.get("AP", np.nan), q.get("AP", np.nan)
-        cds_f, cds_q = fp.get("CDS", np.nan), q.get("CDS", np.nan)
-        print(f"{r:30s} {ap_f:8.4f} {ap_q:8.4f} {cds_f:8.4f} {cds_q:8.4f}")
-        if np.isfinite(ap_f) and np.isfinite(ap_q):
-            deltas_ap.append(ap_q - ap_f)
-        if np.isfinite(cds_f) and np.isfinite(cds_q):
-            deltas_cds.append(cds_q - cds_f)
-    summary = {
-        "scope": args.scope,
-        "mean_ap_delta": float(np.mean(deltas_ap)) if deltas_ap else None,
-        "mean_cds_delta": float(np.mean(deltas_cds)) if deltas_cds else None,
-    }
+        cells = []
+        fp = results["fp"].get(r, {})
+        for n in names:
+            m = results[n].get(r, {})
+            cells.append(
+                f"{m.get('AP', np.nan):10.4f} {m.get('CDS', np.nan):10.4f}"
+            )
+            if n != "fp":
+                for metric in ("AP", "CDS"):
+                    a, b = fp.get(metric, np.nan), m.get(metric, np.nan)
+                    if np.isfinite(a) and np.isfinite(b):
+                        deltas[n][metric].append(b - a)
+        print(f"{r:30s} " + " ".join(cells))
+    summary = {"scope": args.scope, "qat_steps": args.qat_steps}
+    for n, d in deltas.items():
+        summary[f"mean_ap_delta_{n}"] = (
+            float(np.mean(d["AP"])) if d["AP"] else None
+        )
+        summary[f"mean_cds_delta_{n}"] = (
+            float(np.mean(d["CDS"])) if d["CDS"] else None
+        )
+    # Back-compat keys (BENCH_NOTES quotes these for the PTQ point).
+    summary["mean_ap_delta"] = summary.get("mean_ap_delta_int8")
+    summary["mean_cds_delta"] = summary.get("mean_cds_delta_int8")
     print(json.dumps(summary))
     (out / "summary.json").write_text(json.dumps(summary))
 
