@@ -187,6 +187,10 @@ class Trainer:
             debug=debug,
             accumulate_steps=self.accum_steps,
         )
+        # ZeRO-1 (trainer.zero1): shard optimizer moments over the data
+        # axis (parallel/mesh.py::zero1_state_sharding). The step function
+        # is rebuilt in _init_state once the state structure exists.
+        self.zero1 = bool(cfg["trainer"].get("zero1", False))
         self.train_step = make_train_step(self.det_cfg, self.tx)
         self.eval_step = make_eval_step(self.det_cfg, self.dec_cfg)
 
@@ -244,6 +248,16 @@ class Trainer:
             )
         else:
             state = jax.device_put(state, replicated_sharding(self.mesh))
+        if self.zero1:
+            from range_view_3d_detection_tpu.parallel.mesh import (
+                zero1_state_sharding,
+            )
+
+            shardings = zero1_state_sharding(self.mesh, state)
+            state = jax.device_put(state, shardings)
+            self.train_step = make_train_step(
+                self.det_cfg, self.tx, state_shardings=shardings
+            )
         if self.ckpt is not None and self.ckpt.latest_step() is not None:
             state, _ = self.ckpt.restore(state)
             logger.info("resumed from step %d", int(state.step))

@@ -71,13 +71,21 @@ def make_train_step(
     tx: optax.GradientTransformation,
     *,
     quant_tree: Any = None,
+    state_shardings: Any = None,
 ):
     """Jitted train step; with ``quant_tree`` (a calibrated ``quant``
     collection, models/quantized.py) the forward runs under the "qat"
     context — STE fake-quant on every scale-bearing conv — so fine-tuning
     optimizes the weights against serving-time int8 quantization error.
     Scales stay frozen (standard QAT practice: ranges fixed, weights
-    adapt); only params train."""
+    adapt); only params train.
+
+    ``state_shardings``: a TrainState-shaped tree of ``NamedSharding``
+    (e.g. ``parallel.mesh.zero1_state_sharding``) pinned onto the output
+    state, so sharded optimizer moments stay sharded across steps
+    (without the constraint XLA may re-replicate them — or worse, pick a
+    different output sharding than the input's, forcing a recompile
+    every step)."""
     model = Detector(config)
 
     def apply_model(params, batch_stats, features, cart, mask):
@@ -154,6 +162,10 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt_state,
         )
+        if state_shardings is not None:
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_shardings
+            )
         return new_state, metrics
 
     return train_step

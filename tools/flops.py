@@ -47,6 +47,13 @@ def main(argv):
     ap.add_argument(
         "--tiny", action="store_true", help="tiny config (fast; CI smoke)"
     )
+    ap.add_argument(
+        "--train",
+        action="store_true",
+        help="also cost-analyze the full jitted train step (forward + "
+        "targets + loss + backward + AdamW) — grounds the training-"
+        "efficiency roofline the way the stage rows ground serving",
+    )
     args = ap.parse_args(argv)
 
     from __graft_entry__ import _flagship_config, _sample_inputs
@@ -116,6 +123,27 @@ def main(argv):
         ),
         mv, feats, cart, mask,
     )
+
+    if args.train:
+        from __graft_entry__ import _dryrun_batch
+        from range_view_3d_detection_tpu.training import (
+            optim,
+            state as state_lib,
+        )
+
+        batch = _dryrun_batch(cfg, B, H, W, C)
+        tx, _ = optim.make_optimizer(1e-3, 100, debug=True)
+        st = state_lib.create_state(jax.random.PRNGKey(0), cfg, tx, batch)
+        step = state_lib.make_train_step(cfg, tx)
+        # step is already jitted; lower/compile without executing.
+        compiled = step.lower(st, batch).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        rows["train_step"] = (
+            float(ca.get("flops", 0.0)) / 1e9,
+            float(ca.get("bytes accessed", 0.0)) / 1e9,
+        )
 
     peak = args.peak_tflops * 1e3  # GFLOP/s
     bw = args.hbm_gbps  # GB/s
