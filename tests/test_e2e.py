@@ -55,6 +55,9 @@ def test_trainer_end_to_end(synthetic_root, tmp_path):
             "model.post_processing_config.min_confidence=0.01",
             "trainer.max_epochs=2",
             "trainer.devices=1",
+            # exercises the Trainer zero1 branch (no-op sharding at n=1;
+            # the 8-device numerics are covered in test_training_extras)
+            "trainer.zero1=true",
             f"run_dir={tmp_path}/run",
         ],
     )
