@@ -54,6 +54,13 @@ def main(argv):
         "targets + loss + backward + AdamW) — grounds the training-"
         "efficiency roofline the way the stage rows ground serving",
     )
+    ap.add_argument(
+        "--remat",
+        type=int,
+        default=0,
+        help="train-step rematerialization (1 matches the flagship "
+        "16 GB training configuration)",
+    )
     args = ap.parse_args(argv)
 
     from __graft_entry__ import _flagship_config, _sample_inputs
@@ -131,10 +138,11 @@ def main(argv):
             state as state_lib,
         )
 
-        batch = _dryrun_batch(cfg, B, H, W, C)
+        train_cfg = dataclasses.replace(cfg, remat=bool(args.remat))
+        batch = _dryrun_batch(train_cfg, B, H, W, C)
         tx, _ = optim.make_optimizer(1e-3, 100, debug=True)
-        st = state_lib.create_state(jax.random.PRNGKey(0), cfg, tx, batch)
-        step = state_lib.make_train_step(cfg, tx)
+        st = state_lib.create_state(jax.random.PRNGKey(0), train_cfg, tx, batch)
+        step = state_lib.make_train_step(train_cfg, tx)
         # step is already jitted; lower/compile without executing.
         compiled = step.lower(st, batch).compile()
         ca = compiled.cost_analysis()
