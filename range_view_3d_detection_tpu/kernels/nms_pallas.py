@@ -74,11 +74,15 @@ def _nms_scan_kernel(
         self_w = jnp.where(is_self, scores, 0.0)
         w = jnp.maximum(w, self_w)
         wsum = jnp.maximum(jnp.sum(w), 1e-8)
+        # HIGHEST precision: the MXU's default pass rounds fp32 inputs to
+        # bf16 (rel err ~2^-8 — ~0.25 m on far boxes, observed on real
+        # v5e); preferred_element_type alone only sets the accumulator.
         merged_row = jax.lax.dot_general(
             w,
             payload_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ) / wsum  # (1, P)
 
         own_payload = payload_ref[pl.ds(g, 1), :]
