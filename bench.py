@@ -36,7 +36,7 @@ BASELINE_FPS = 2000.0
 BENCH_POINTS = os.environ.get("RV3D_BENCH_POINTS", "") == "1"
 
 
-def main() -> None:
+def _run(batch: int) -> float:
     from __graft_entry__ import _flagship_config, _sample_inputs
     from range_view_3d_detection_tpu.models.decoder import DecoderConfig, decode
     from range_view_3d_detection_tpu.models.detector import Detector
@@ -44,9 +44,6 @@ def main() -> None:
     cfg = _flagship_config()
     dec_cfg = DecoderConfig(nms_cap=1024)
     model = Detector(cfg)
-    # Throughput operating point: batch 2 (larger batches exhaust the 16 GB
-    # HBM once queued executions' workspaces stack up).
-    batch = 2
     feats, cart, mask = _sample_inputs(batch, 64, 1808, 5)
     variables = model.init(jax.random.PRNGKey(0), feats, cart, mask, train=False)
     tasks = cfg.tasks_dict

@@ -250,9 +250,12 @@ def calibrate_scales(
             return node
         out = {}
         for k, v in node.items():
-            if k == "in_absmax":
+            if k.endswith("_absmax"):
+                # "<name>_absmax" -> "<name>_scale" (= absmax / 127):
+                # "in_absmax" from ConvNormAct/TorchConvTranspose, the
+                # "stem_hh/pf_absmax" pair from the MetaKernel stem.
                 m = float(np.asarray(v))
-                out["in_scale"] = np.asarray(
+                out[k[: -len("_absmax")] + "_scale"] = np.asarray(
                     m / _INT8_MAX if m > 0 else 1.0, np.float32
                 )
             else:

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from range_view_3d_detection_tpu.models import quantized
 from range_view_3d_detection_tpu.models.blocks import BasicBlock, ConvNormAct
 from range_view_3d_detection_tpu.parallel import spatial
 
@@ -242,6 +243,8 @@ class MetaKernel(nn.Module):
             and jax.default_backend() in ("tpu", "cpu")
             and spatial.context() is None  # kernel is device-local; the
             # accumulate path below is halo-aware under width sharding
+            and quantized.mode() != "calib"  # calib sows from the
+            # accumulate path (it needs the per-neighbor intermediates)
         ):
             # Gate on backend: the kernel lowers on TPU and runs in
             # interpret mode on CPU; any other backend (e.g. GPU) falls
@@ -250,23 +253,63 @@ class MetaKernel(nn.Module):
             # reads g/feats once, all 9 neighbor matmuls VMEM-resident.
             from range_view_3d_detection_tpu.kernels.stem_pallas import (
                 meta_kernel_fused,
+                meta_kernel_fused_i8,
             )
 
             g = pos_conv(cart, 0)
             a0, b0 = bn_eval_affine(0)
             a1, b1 = bn_eval_affine(1)
-            geo = meta_kernel_fused(
-                g,
-                feats,
-                pos_kernels[1].astype(self.dtype),
-                kernel,
-                a0,
-                b0,
-                a1,
-                b1,
-                num_neighbors=n,
-                interpret=jax.default_backend() == "cpu",
-            )
+            if quantized.mode() == "int8" and self.has_variable(
+                "quant", "stem_hh_scale"
+            ):
+                # int8 serving stem: same contract as Int8Conv —
+                # symmetric per-tensor activation scales (calibrated via
+                # the accumulate path's sows), per-output-channel int8
+                # weights quantized in-trace (constant-folded under the
+                # serving jit). Scale folding per
+                # kernels/stem_pallas.py::_stem_kernel_i8.
+                s_hh = self.get_variable("quant", "stem_hh_scale")
+                s_pf = self.get_variable("quant", "stem_pf_scale")
+                w1 = pos_kernels[1].astype(jnp.float32)
+                w1_s = jnp.maximum(
+                    jnp.max(jnp.abs(w1), axis=0) / 127.0, 1e-12
+                )
+                w1_i8 = jnp.clip(
+                    jnp.round(w1 / w1_s), -127, 127
+                ).astype(jnp.int8)
+                kf = fusion1_kernel.astype(jnp.float32)
+                k_s = jnp.maximum(
+                    jnp.max(jnp.abs(kf), axis=1) / 127.0, 1e-12
+                )  # (nn2, C)
+                k_i8 = jnp.clip(
+                    jnp.round(kf / k_s[:, None, :]), -127, 127
+                ).astype(jnp.int8)
+                geo = meta_kernel_fused_i8(
+                    g,
+                    feats,
+                    w1_i8,
+                    k_i8,
+                    a0 / s_hh,
+                    b0 / s_hh,
+                    a1 * (s_hh * w1_s) / s_pf,
+                    b1 / s_pf,
+                    s_pf * k_s,
+                    num_neighbors=n,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                geo = meta_kernel_fused(
+                    g,
+                    feats,
+                    pos_kernels[1].astype(self.dtype),
+                    kernel,
+                    a0,
+                    b0,
+                    a1,
+                    b1,
+                    num_neighbors=n,
+                    interpret=jax.default_backend() == "cpu",
+                )
         else:
             # conv0 is linear and bias-free, so all 9 neighbor projections
             # come from ONE conv of cart: pos0_n = shift_n(g) - g.
@@ -276,14 +319,36 @@ class MetaKernel(nn.Module):
             featsp = _padded_image(feats, pad)
             geo = None
             idx = 0
+            calib_stem = (
+                quantized.mode() == "calib"
+                and self.num_layers == 2
+                and n == 3
+            )
             for dy in range(n):
                 for dx in range(n):
                     x0 = gp[:, dy : dy + H, dx : dx + W] - g
                     pos = pos_tail(x0, 0)
+                    pf = pos * featsp[:, dy : dy + H, dx : dx + W]
+                    if calib_stem:
+                        # Activation absmaxes for the int8 fused stem
+                        # (kernels/stem_pallas.py::meta_kernel_fused_i8):
+                        # hh = relu(bn0(x0)) and the p*feats product —
+                        # device-reduced max over neighbors/batches, the
+                        # same sow contract as blocks.ConvNormAct.
+                        hh = nn.relu(pos_bn(x0, 0).astype(self.dtype))
+                        for nm, val in (
+                            ("stem_hh_absmax", hh),
+                            ("stem_pf_absmax", pf),
+                        ):
+                            self.sow(
+                                "quant_stats",
+                                nm,
+                                jnp.max(jnp.abs(val.astype(jnp.float32))),
+                                init_fn=lambda: jnp.zeros((), jnp.float32),
+                                reduce_fn=jnp.maximum,
+                            )
                     term = jnp.einsum(
-                        "bhwc,co->bhwo",
-                        pos * featsp[:, dy : dy + H, dx : dx + W],
-                        kernel[idx],
+                        "bhwc,co->bhwo", pf, kernel[idx]
                     )
                     geo = term if geo is None else geo + term
                     idx += 1
