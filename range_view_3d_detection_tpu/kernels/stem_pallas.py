@@ -166,7 +166,7 @@ def _stem_kernel_i8(
         ).astype(jnp.int8)
         acc = acc + (
             jnp.dot(pq, k_ref[dx], preferred_element_type=jnp.int32)
-        ).astype(jnp.float32) * kdq_ref[dx]
+        ).astype(jnp.float32) * kdq_ref[dx, 0]
     out_ref[0, 0] = acc
 
 
@@ -223,8 +223,12 @@ def meta_kernel_fused_i8(
     kspec = pl.BlockSpec(
         (n, C, C), lambda b, h, kk: (kk, 0, 0), memory_space=pltpu.VMEM
     )
+    # kdq rides as (n*n, 1, C): a 2-D (n, C) block would violate the TPU
+    # tiling rule (last two block dims must be divisible by (8, 128) or
+    # equal the array dims — 3 x 256 over 9 x 256 is neither); with the
+    # singleton axis the last two dims (1, C) equal the array's.
     kdqspec = pl.BlockSpec(
-        (n, C), lambda b, h, kk: (kk, 0), memory_space=pltpu.VMEM
+        (n, 1, C), lambda b, h, kk: (kk, 0, 0), memory_space=pltpu.VMEM
     )
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.BlockSpec(
@@ -255,7 +259,7 @@ def meta_kernel_fused_i8(
         b0.astype(jnp.float32),
         a1.astype(jnp.float32),
         b1.astype(jnp.float32),
-        kdq.astype(jnp.float32),
+        kdq.astype(jnp.float32).reshape(n * n, 1, C),
     )
 
 

@@ -33,6 +33,10 @@ class RangeBackbone(nn.Module):
     """
 
     layers: Sequence[int]  # 5 stage widths
+    # Residual blocks per stage; (2, 3, 3, 5, 5) is the reference DLA
+    # (``dla.py:37-63``). Exposed so the multichip dryrun can validate
+    # the full stride/aggregation layout surface at 1 block per stage.
+    stage_blocks: Sequence[int] = (2, 3, 3, 5, 5)
     remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -40,6 +44,7 @@ class RangeBackbone(nn.Module):
     @nn.compact
     def __call__(self, features: Array, *, train: bool) -> Dict[int, Array]:
         ch = list(self.layers)
+        nb = list(self.stage_blocks)
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         RB = (
             nn.remat(ResidualBlock, static_argnums=(2,), prevent_cse=False)
@@ -52,11 +57,11 @@ class RangeBackbone(nn.Module):
             else AggregationBlock
         )
 
-        res1 = RB(ch[0], num_blocks=2, strides=(1, 1), **kw)(features, train)
-        res2a = RB(ch[1], num_blocks=3, strides=(1, 2), **kw)(res1, train)
-        res2 = RB(ch[2], num_blocks=3, strides=(1, 2), **kw)(res2a, train)
-        res3a = RB(ch[3], num_blocks=5, strides=(1, 2), **kw)(res2, train)
-        res3 = RB(ch[4], num_blocks=5, strides=(1, 2), **kw)(res3a, train)
+        res1 = RB(ch[0], num_blocks=nb[0], strides=(1, 1), **kw)(features, train)
+        res2a = RB(ch[1], num_blocks=nb[1], strides=(1, 2), **kw)(res1, train)
+        res2 = RB(ch[2], num_blocks=nb[2], strides=(1, 2), **kw)(res2a, train)
+        res3a = RB(ch[3], num_blocks=nb[3], strides=(1, 2), **kw)(res2, train)
+        res3 = RB(ch[4], num_blocks=nb[4], strides=(1, 2), **kw)(res3a, train)
 
         agg2 = AB(
             ch[2], kernel_size=(3, 8), strides=(1, 4), padding=(1, 2), num_blocks=2,
@@ -86,6 +91,7 @@ class RangeNet(nn.Module):
     """
 
     layers: Sequence[int]
+    stage_blocks: Sequence[int] = (2, 3, 3, 5, 5)
     stem_type: str = "META"
     num_neighbors: int = 3
     num_layers: int = 2
@@ -147,6 +153,9 @@ class RangeNet(nn.Module):
             )(features, train)
         else:
             raise NotImplementedError(f"stem_type={self.stem_type}")
-        return RangeBackbone(self.layers, remat=self.remat, **kw)(
-            stem, train=train
-        )
+        return RangeBackbone(
+            self.layers,
+            stage_blocks=self.stage_blocks,
+            remat=self.remat,
+            **kw,
+        )(stem, train=train)

@@ -55,6 +55,8 @@ class DetectorConfig:
     tasks: Tuple[Tuple[int, Tuple[str, ...]], ...]  # ((task_id, cats), ...)
     in_channels: int = 5
     layers: Tuple[int, ...] = (64, 64, 128, 128, 128)
+    # Residual blocks per backbone stage (reference DLA: 2, 3, 3, 5, 5).
+    stage_blocks: Tuple[int, ...] = (2, 3, 3, 5, 5)
     stem_type: str = "BASIC"
     num_neighbors: int = 3
     num_stem_layers: int = 2
@@ -114,6 +116,7 @@ class Detector(nn.Module):
 
         multiscale = RangeNet(
             layers=cfg.layers,
+            stage_blocks=cfg.stage_blocks,
             stem_type=cfg.stem_type,
             num_neighbors=cfg.num_neighbors,
             num_layers=cfg.num_stem_layers,

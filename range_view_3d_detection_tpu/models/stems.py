@@ -10,7 +10,8 @@ FLOP-bound, and the im2col buffer dominated its runtime.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+import logging
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -22,6 +23,23 @@ from range_view_3d_detection_tpu.models.blocks import BasicBlock, ConvNormAct
 from range_view_3d_detection_tpu.parallel import spatial
 
 Dtype = Any
+
+_logger = logging.getLogger(__name__)
+
+# Which MetaKernel compute path the last trace selected: "stacked" (train /
+# accumulate-off), "pallas_int8", "pallas_fp", or "accumulate". The int8
+# stem silently falls back to fp paths when quant scales are missing or
+# under width sharding / non-TPU backends — this record (plus a one-time
+# log per path change) lets benchmark and accuracy harnesses assert which
+# stem they actually measured instead of guessing (ADVICE r3).
+LAST_STEM_PATH: Optional[str] = None
+
+
+def _note_stem_path(path: str) -> None:
+    global LAST_STEM_PATH
+    if LAST_STEM_PATH != path:
+        _logger.info("MetaKernel stem path: %s", path)
+    LAST_STEM_PATH = path
 
 
 def _width_padded(x: Array, pad: int) -> Array:
@@ -213,6 +231,7 @@ class MetaKernel(nn.Module):
         kernel = fusion1_kernel.astype(self.dtype)
 
         if train or not self.inference_accumulate:
+            _note_stem_path("stacked")
             # Neighbors ride the BATCH axis: the pos MLP then runs at
             # (B*9, H, W, C) in the native image layout. The earlier
             # (B, H, W*9, C) folding forced XLA into two ~2 GB fp32 layout
@@ -268,6 +287,7 @@ class MetaKernel(nn.Module):
                 # weights quantized in-trace (constant-folded under the
                 # serving jit). Scale folding per
                 # kernels/stem_pallas.py::_stem_kernel_i8.
+                _note_stem_path("pallas_int8")
                 s_hh = self.get_variable("quant", "stem_hh_scale")
                 s_pf = self.get_variable("quant", "stem_pf_scale")
                 w1 = pos_kernels[1].astype(jnp.float32)
@@ -298,6 +318,7 @@ class MetaKernel(nn.Module):
                     interpret=jax.default_backend() == "cpu",
                 )
             else:
+                _note_stem_path("pallas_fp")
                 geo = meta_kernel_fused(
                     g,
                     feats,
@@ -311,6 +332,7 @@ class MetaKernel(nn.Module):
                     interpret=jax.default_backend() == "cpu",
                 )
         else:
+            _note_stem_path("accumulate")
             # conv0 is linear and bias-free, so all 9 neighbor projections
             # come from ONE conv of cart: pos0_n = shift_n(g) - g.
             g = pos_conv(cart, 0)

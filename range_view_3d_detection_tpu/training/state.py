@@ -228,6 +228,38 @@ def make_val_step(
     return val_step
 
 
+def make_scoremap_step(config: DetectorConfig):
+    """Per-stride range-image panels for training visualization: max-class
+    score map per task plus the strided validity mask, image 0 only (the
+    per-stride score/likelihood panels of the reference's
+    ``rendering/tensorboard.py:354-387``, logged every ``train_log_freq``).
+    """
+    model = Detector(config)
+
+    @jax.jit
+    def scoremap_step(state: TrainState, batch: Dict[str, Array]):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["features"],
+            batch["cart"],
+            batch["mask"],
+            train=False,
+        )
+        maps: Dict[str, Array] = {}
+        for stride in sorted(outputs["head"]):
+            for tid in sorted(outputs["head"][stride]):
+                logits = outputs["head"][stride][tid]["logits"]
+                maps[f"stride{stride}/task{tid}/score"] = jax.nn.sigmoid(
+                    logits[0].astype(jnp.float32)
+                ).max(axis=-1)
+            maps[f"stride{stride}/mask"] = (
+                outputs["strided"][stride]["mask"][0].astype(jnp.float32)
+            )
+        return maps
+
+    return scoremap_step
+
+
 def make_forward(config: DetectorConfig):
     """Plain jittable forward (benchmark / graft entry)."""
     model = Detector(config)

@@ -181,13 +181,19 @@ def test_waymo_micro_scene_by_hand():
     - The single det (score 0.8) exactly equals GT1 -> IoU 1 >= 0.7.
     - Cutoffs linspace(0, 1, 101): c <= 0.8 -> matched, (P, R as below);
       c > 0.8 -> no detections, P = 1 (convention), R = 0.
-    - L1 (GT1 only, GT2 ignored): R = 1 for c <= 0.8; envelope P = 1;
-      trapezoid over R in [0, 1] -> AP = 1.0.
+    - L1 (GT1 only, GT2 ignored): R = 1 for c <= 0.8; envelope P = 1.
+      A single-operating-point detector: recall leaps 0 -> 1 between
+      adjacent cutoffs, so the official recall-gap penalty clips the
+      integration width to 0.05: AP = 0.5*(1+1)*0.05 = 0.05.
+      Unpenalized (max_recall_delta=None) the trapezoid over [0, 1]
+      gives 1.0 — the pair demonstrates the penalty is live.
     - L2 all-range (2 GTs): R = 0.5 for c <= 0.8, P = 1 everywhere ->
-      integral over observed recall [0, 0.5] of 1 -> AP = 0.5.
-    - Range bands: GT1 in [0, 30): band num_gt = 1, R = 1 -> AP = 1.0;
-      GT2 in [30, 50): no TP and the det buckets into [0, 30), so
-      P = 1, R = 0 at every cutoff -> zero-width integral -> AP = 0.0.
+      unpenalized integral over [0, 0.5] = 0.5; penalized: the single
+      0 -> 0.5 leap clips to 0.05.
+    - Range bands (unpenalized for legibility): GT1 in [0, 30): band
+      num_gt = 1, R = 1 -> AP = 1.0; GT2 in [30, 50): no TP and the det
+      buckets into [0, 30), so P = 1, R = 0 at every cutoff ->
+      zero-width integral -> AP = 0.0 (both ways).
     """
     ts = 1_000_000_000
     gts = _frame(
@@ -201,7 +207,438 @@ def test_waymo_micro_scene_by_hand():
         [[10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts]], scores=[0.8]
     )
     res = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"])
-    np.testing.assert_allclose(res["VEHICLE/L1/0-inf/AP_3d"], 1.0, atol=1e-9)
-    np.testing.assert_allclose(res["VEHICLE/L2/0-inf/AP_3d"], 0.5, atol=1e-9)
-    np.testing.assert_allclose(res["VEHICLE/L2/0-30/AP_3d"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE/L1/0-inf/AP_3d"], 0.05, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE/L2/0-inf/AP_3d"], 0.05, atol=1e-9)
     np.testing.assert_allclose(res["VEHICLE/L2/30-50/AP_3d"], 0.0, atol=1e-9)
+
+    raw = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], max_recall_delta=None
+    )
+    np.testing.assert_allclose(raw["VEHICLE/L1/0-inf/AP_3d"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(raw["VEHICLE/L2/0-inf/AP_3d"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(raw["VEHICLE/L2/0-30/AP_3d"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(raw["VEHICLE/L2/30-50/AP_3d"], 0.0, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial protocol-edge goldens (VERDICT r3 missing #1 / next #4):
+# threshold boundaries, dedupe order, range/ROI filters, uuid joins, band
+# edges, recall-gap arithmetic. Every expected value derived by hand in the
+# docstring; none re-pinned from the implementation.
+# ---------------------------------------------------------------------------
+
+
+def test_av2_affinity_threshold_boundary_exact():
+    """Det exactly 0.5 m from its GT: the devkit's TP rule is STRICT
+    (``dist < threshold``), so 0.5 m fails the 0.5 m threshold and passes
+    1/2/4 m.
+
+    - Per passing threshold: 1 GT, 1 TP det -> P=1 at R=1; all 100 recall
+      grid points read 1 -> AP 1. At 0.5 m: no TP -> AP 0.
+    - mean AP = (0 + 1 + 1 + 1)/4 = 0.75.
+    - ATE (at the 2 m threshold) = 0.5; ASE = 0; AOE = 0.
+    - CDS = 0.75 * mean(1 - 0.5/2, 1, 1) = 0.75 * (11/12) = 0.6875.
+    """
+    ts = 1_000_000_000
+    gts = _frame([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts]], pts=[50])
+    dts = _frame([[0.5, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts]], scores=[0.9])
+    res = av2_eval.evaluate(dts, gts, ["VEHICLE"])["VEHICLE"]
+    np.testing.assert_allclose(res["AP"], 0.75, atol=1e-9)
+    np.testing.assert_allclose(res["ATE"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(res["CDS"], 0.6875, atol=1e-9)
+
+
+def test_av2_exactly_two_meters_is_not_tp_at_two():
+    """Det exactly 2.0 m away: TP only at the 4 m threshold (strict <).
+
+    - AP = (0+0+0+1)/4 = 0.25.
+    - No TP at the 2 m threshold -> TP errors take their maxima
+      (ATE=2, ASE=1, AOE=pi) -> CDS = 0.25 * mean(0, 0, 0) = 0.
+    """
+    ts = 1_000_000_000
+    gts = _frame([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts]], pts=[50])
+    dts = _frame([[2.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts]], scores=[0.9])
+    res = av2_eval.evaluate(dts, gts, ["VEHICLE"])["VEHICLE"]
+    np.testing.assert_allclose(res["AP"], 0.25, atol=1e-9)
+    np.testing.assert_allclose(res["ATE"], 2.0, atol=1e-9)
+    np.testing.assert_allclose(res["ASE"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["AOE"], np.pi, atol=1e-9)
+    np.testing.assert_allclose(res["CDS"], 0.0, atol=1e-9)
+
+
+def test_av2_dedupe_is_score_order_not_distance_order():
+    """Two dets assigned to the same GT: the HIGHEST-SCORING one claims it
+    (devkit ``np.unique(idx_gts, return_index=True)`` on score-sorted rows)
+    even when a lower-scoring det is much closer.
+
+    Scene: GT1 at origin, GT2 at (20,0,0) (never matched, keeps num_gts=2
+    so recall stays off the fragile grid-exact values). Det A score 0.9 at
+    (3,0,0); det B score 0.5 at (0.1,0,0). Both nearest GT1; A wins.
+    - t in {0.5,1,2}: A (3 m) outside, B is a dupe -> no TPs -> AP 0.
+    - t=4: tp by score order = [T, F]; recall [0.5, 0.5], envelope
+      precision [1, 0.5]; grid points below 0.5 (i/99 < 0.5 <=> i<=49,
+      50 points) read 1, the rest 0 -> AP 0.5.
+    - mean AP = 0.5/4 = 0.125. No TP at 2 m -> CDS = 0.
+    Mirror scene (B scores 0.9): B (0.1 m) claims GT1 at EVERY threshold
+    -> AP 0.5 at all four -> mean 0.5; ATE = 0.1.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [20.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[50, 50],
+    )
+    dts = _frame(
+        [
+            [3.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [0.1, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.9, 0.5],
+    )
+    res = av2_eval.evaluate(dts, gts, ["VEHICLE"])["VEHICLE"]
+    np.testing.assert_allclose(res["AP"], 0.125, atol=1e-9)
+    np.testing.assert_allclose(res["CDS"], 0.0, atol=1e-9)
+
+    dts2 = _frame(
+        [
+            [3.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [0.1, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.5, 0.9],
+    )
+    res2 = av2_eval.evaluate(dts2, gts, ["VEHICLE"])["VEHICLE"]
+    np.testing.assert_allclose(res2["AP"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(res2["ATE"], 0.1, atol=1e-9)
+
+
+def test_av2_range_filter_boundary_150m():
+    """GT range filter is INCLUSIVE at 150 m; beyond is dropped on both
+    sides.
+
+    GT1 at exactly (150,0,0): kept (<=). GT2 at (151,0,0): dropped ->
+    num_gts=1. Det1 exact on GT1: kept, TP at all thresholds. Det2 exact
+    on GT2: range 151 -> dropped, NOT an FP. -> AP 1, ATE 0, CDS 1.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [150.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [151.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[50, 50],
+    )
+    dts = _frame(
+        [
+            [150.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [151.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.9, 0.8],
+    )
+    res = av2_eval.evaluate(dts, gts, ["VEHICLE"])
+    assert res["VEHICLE"]["num_gts"] == 1.0
+    np.testing.assert_allclose(res["VEHICLE"]["AP"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE"]["CDS"], 1.0, atol=1e-9)
+
+
+def test_av2_roi_filter_excludes_both_sides():
+    """ROI filtering (datasets/__init__.py:27-34 semantics) removes
+    out-of-ROI GTs from num_gts AND out-of-ROI dets from the FP pool.
+
+    GT1 (in ROI) at origin + GT2 (out of ROI) at (10,0,0) -> num_gts=1.
+    Det1 exact on GT1 (in ROI) -> TP. Det2 exact on GT2 (out of ROI) ->
+    dropped, not an FP. -> AP 1, CDS 1. With ROI evaluation disabled the
+    same scene has num_gts=2, both dets TP -> AP 1 but ATE unchanged —
+    assert num_gts to pin the filter itself.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[50, 50],
+    )
+    gts["is_within_roi"] = np.asarray([True, False])
+    dts = _frame(
+        [
+            [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.9, 0.8],
+    )
+    dts["is_within_roi"] = np.asarray([True, False])
+    res = av2_eval.evaluate(dts, gts, ["VEHICLE"])
+    assert res["VEHICLE"]["num_gts"] == 1.0
+    np.testing.assert_allclose(res["VEHICLE"]["AP"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE"]["CDS"], 1.0, atol=1e-9)
+
+    res2 = av2_eval.evaluate(
+        dts, gts, ["VEHICLE"], eval_only_roi_instances=False
+    )
+    assert res2["VEHICLE"]["num_gts"] == 2.0
+    np.testing.assert_allclose(res2["VEHICLE"]["AP"], 1.0, atol=1e-9)
+
+
+def test_av2_zero_interior_points_gt_excluded():
+    """A 0-point GT is removed BEFORE assignment, so its perfect det
+    reassigns to the remaining GT — and, by the claims-before-threshold
+    rule, can even steal that GT from its own exact det.
+
+    GT1 (0 pts) at origin excluded; GT2 (50 pts) at (10,0,0) -> num_gts=1.
+
+    Order A — det on the EXCLUDED GT scores higher (0.9 at origin, 0.8
+    exact on GT2): after filtering, BOTH dets' nearest GT is GT2; the
+    0.9 det claims it (score order) but sits 10 m away -> outside every
+    threshold -> no TP anywhere; the exact 0.8 det is a dupe FP.
+    -> AP 0, TP errors at maxima, CDS 0.
+
+    Order B — scores swapped (exact det 0.9): the exact det claims GT2
+    -> TP at all thresholds; the origin det is a trailing dupe FP.
+    tp=[T,F], recall [1,1], envelope precision [1,0.5]: 99 grid points
+    read 1 and the terminal point 0.5 -> AP 0.995; ATE 0 -> CDS 0.995.
+
+    The pair certifies the pts>0 filter: were GT1 kept, order A would be
+    two clean TPs (AP 1), not 0.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[0, 50],
+    )
+    rows = [
+        [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+    ]
+    res = av2_eval.evaluate(
+        _frame(rows, scores=[0.9, 0.8]), gts, ["VEHICLE"]
+    )["VEHICLE"]
+    assert res["num_gts"] == 1.0
+    np.testing.assert_allclose(res["AP"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(res["CDS"], 0.0, atol=1e-9)
+
+    res2 = av2_eval.evaluate(
+        _frame(rows, scores=[0.8, 0.9]), gts, ["VEHICLE"]
+    )["VEHICLE"]
+    np.testing.assert_allclose(res2["AP"], 0.995, atol=1e-9)
+    np.testing.assert_allclose(res2["ATE"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(res2["CDS"], 0.995, atol=1e-9)
+
+
+def test_av2_trailing_fp_after_full_recall():
+    """An FP ranked AFTER full recall costs only the terminal grid point.
+
+    1 GT; det1 perfect (0.9, TP), det2 far FP (0.8). tp=[T,F]: recall
+    [1,1], envelope precision [1,0.5]. Grid points below 1 read the left
+    value 1; the exact grid point 1.0 reads 0.5 -> AP = (99 + 0.5)/100 =
+    0.995 per threshold -> mean 0.995 (the devkit's np.interp semantics).
+    """
+    ts = 1_000_000_000
+    gts = _frame([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts]], pts=[50])
+    dts = _frame(
+        [
+            [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [50.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.9, 0.8],
+    )
+    res = av2_eval.evaluate(dts, gts, ["VEHICLE"])["VEHICLE"]
+    np.testing.assert_allclose(res["AP"], 0.995, atol=1e-9)
+
+
+def test_av2_evaluate_predictions_dedupe_and_uuid_join(tmp_path):
+    """Shard-level entry (detector.py:547-616 semantics): exact duplicate
+    prediction rows are dropped, and predictions in sweeps with no GT are
+    inner-joined away — neither may surface as an FP.
+
+    GT: one sweep (ts=1000) with one GT at origin. Predictions: the
+    perfect det written TWICE (shard rewrite analog) + one det at
+    ts=2000 (a sweep with no annotations). After dedupe+join exactly one
+    det remains -> AP 1, CDS 1. Without dedupe the duplicate would be an
+    FP (AP 0.9975); without the join the ts=2000 det would too.
+    """
+    from range_view_3d_detection_tpu.utils.feather import write_feather
+
+    gt_dir = tmp_path / "val"
+    log_dir = gt_dir / "logA"
+    ann = {
+        "tx_m": np.asarray([0.0]),
+        "ty_m": np.asarray([0.0]),
+        "tz_m": np.asarray([0.0]),
+        "length_m": np.asarray([4.0]),
+        "width_m": np.asarray([2.0]),
+        "height_m": np.asarray([1.5]),
+        "qw": np.ones(1),
+        "qx": np.zeros(1),
+        "qy": np.zeros(1),
+        "qz": np.zeros(1),
+        "category": np.asarray(["VEHICLE"]),
+        "timestamp_ns": np.asarray([1000], np.int64),
+        "num_interior_pts": np.asarray([50], np.int64),
+    }
+    write_feather(log_dir / "annotations.feather", ann)
+
+    pred_dir = tmp_path / "preds"
+    det_row = {
+        "tx_m": np.asarray([0.0, 0.0, 5.0]),
+        "ty_m": np.asarray([0.0, 0.0, 0.0]),
+        "tz_m": np.asarray([0.0, 0.0, 0.0]),
+        "length_m": np.asarray([4.0, 4.0, 4.0]),
+        "width_m": np.asarray([2.0, 2.0, 2.0]),
+        "height_m": np.asarray([1.5, 1.5, 1.5]),
+        "qw": np.ones(3),
+        "qx": np.zeros(3),
+        "qy": np.zeros(3),
+        "qz": np.zeros(3),
+        "score": np.asarray([0.9, 0.9, 0.8]),
+        "category": np.asarray(["VEHICLE"] * 3),
+        "log_id": np.asarray(["logA"] * 3),
+        "timestamp_ns": np.asarray([1000, 1000, 2000], np.int64),
+    }
+    write_feather(pred_dir / "shard0.feather", det_row)
+
+    res = av2_eval.evaluate_predictions(pred_dir, gt_dir, ["VEHICLE"])
+    np.testing.assert_allclose(res["VEHICLE"]["AP"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE"]["CDS"], 1.0, atol=1e-9)
+
+
+def test_waymo_recall_gap_cap_arithmetic():
+    """The recall-gap penalty charges exactly min(delta_recall, 0.05) per
+    adjacent-cutoff interval.
+
+    Scene A: 20 GTs, 20 perfect dets with scores mid-interval
+    (k/20 - 0.005, k=1..20) so each cutoff step drops exactly one det:
+    every recall step is 1/20 = 0.05 <= cap -> penalty never binds ->
+    penalized AP == unpenalized AP == 1.0 (P==1 at every cutoff).
+
+    Scene B: 10 GTs, 10 perfect dets at k/10 - 0.005: every recall step
+    is 0.10, clipped to 0.05 -> penalized AP = 10 * 0.05 * 1 = 0.5 while
+    unpenalized stays 1.0.
+    """
+    ts = 1_000_000_000
+
+    def scene(n):
+        rows = [
+            [5.0 + 5.0 * k, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts]
+            for k in range(n)
+        ]
+        gts = _frame(rows, pts=[100] * n)
+        scores = [(k + 1) / n - 0.005 for k in range(n)]
+        dts = _frame(rows, scores=scores)
+        return dts, gts
+
+    dts, gts = scene(20)
+    pen = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    raw = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
+    np.testing.assert_allclose(pen["VEHICLE/L1/0-inf/AP_bev"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(raw["VEHICLE/L1/0-inf/AP_bev"], 1.0, atol=1e-9)
+
+    dts, gts = scene(10)
+    pen = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    raw = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
+    np.testing.assert_allclose(pen["VEHICLE/L1/0-inf/AP_bev"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(raw["VEHICLE/L1/0-inf/AP_bev"], 1.0, atol=1e-9)
+
+
+def test_waymo_band_boundaries_30_and_50():
+    """Official WOD bands are [lo, hi): a GT at BEV range exactly 30.0
+    buckets to [30,50), and exactly 50.0 to [50,inf).
+
+    Two GTs at x=30 and x=50 (y=0 -> BEV range exact), two perfect dets.
+    Unpenalized, per band: its one GT reaches R=1 with P=1 -> AP 1;
+    [0,30) has no GT -> AP 0 by definition.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [30.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [50.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[100, 100],
+    )
+    dts = _frame(
+        [
+            [30.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [50.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.895, 0.795],
+    )
+    res = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
+    np.testing.assert_allclose(res["VEHICLE/L2/0-30/AP_bev"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE/L2/30-50/AP_bev"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE/L2/50-inf/AP_bev"], 1.0, atol=1e-9)
+
+
+def test_waymo_cross_band_match_counts_in_gt_band():
+    """A det at 29.9 m matched to a GT at 30.5 m (BEV IoU ~0.739 >= 0.7)
+    is a TP of the GT's band [30,50) and must NOT appear as an FP in its
+    own band [0,30).
+
+    A second perfect GT/det pair at 10 m makes [0,30) observable: if the
+    cross-band det were bucketed as an FP by its own range, [0,30)
+    precision would be 0.5 at low cutoffs and its envelope AP < 1.
+    Unpenalized expectations: both bands AP 1.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [30.5, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[100, 100],
+    )
+    dts = _frame(
+        [
+            [29.9, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.895, 0.795],
+    )
+    res = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
+    np.testing.assert_allclose(res["VEHICLE/L2/0-30/AP_bev"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE/L2/30-50/AP_bev"], 1.0, atol=1e-9)
+
+
+def test_waymo_l1_ignore_with_penalty_arithmetic():
+    """LEVEL_1 ignores matches to LEVEL_2 GTs (not FPs), composed with the
+    recall-gap penalty.
+
+    2 L1 GTs (100 pts) + 1 L2 GT (3 pts <= 5), three perfect dets at
+    scores 0.895/0.795/0.695 (the L2 GT's det scored last).
+    - L1 (num_gt=2): recall steps 0 -> 0.5 -> 1.0 (two 0.5 jumps, the L2
+      match is ignored at every cutoff, P stays 1): penalized AP =
+      2 * 0.05 * 1 = 0.1.
+    - L2 (num_gt=3): three 1/3 jumps -> 3 * 0.05 = 0.15.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [20.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [30.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[100, 100, 3],
+    )
+    dts = _frame(
+        [
+            [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [20.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [30.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.895, 0.795, 0.695],
+    )
+    res = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    np.testing.assert_allclose(res["VEHICLE/L1/0-inf/AP_bev"], 0.1, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE/L2/0-inf/AP_bev"], 0.15, atol=1e-9)

@@ -323,7 +323,12 @@ def test_waymo_rematching_changes_low_score_fate():
         "log_id": np.asarray(["log"] * 2),
         "timestamp_ns": np.asarray([0, 0], np.int64),
     }
-    res = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    # Penalty disabled: the subject here is per-cutoff re-matching, and
+    # a 1-GT scene's 0->1 recall leap would otherwise clip to 0.05 and
+    # mask whether the low-score detection became a TP at all.
+    res = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
     # At every cutoff the single kept/matched detection is a TP (both
     # boxes exceed 0.7 IoU), so precision = 1 everywhere => AP == 1.
     np.testing.assert_allclose(res["VEHICLE/L2/0-inf/AP_bev"], 1.0, atol=1e-6)
@@ -352,7 +357,11 @@ def test_waymo_level1_ignores_hard_matches():
         if k != "num_interior_pts"
     }
     dts["score"] = np.asarray([0.9, 0.8])
-    res = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    # Penalty off: the subject is LEVEL ignore semantics, and tiny-scene
+    # recall leaps would clip every AP to ~0.05 regardless of matching.
+    res = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
     # L1: one counted GT, its detection TP; the L2 match is ignored (not
     # an FP), so precision stays 1 => AP 1. L2: both TPs => AP 1.
     np.testing.assert_allclose(res["VEHICLE/L1/0-inf/AP_bev"], 1.0, atol=1e-6)

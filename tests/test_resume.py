@@ -82,3 +82,94 @@ def _leaves(tree):
     import jax
 
     return jax.tree_util.tree_leaves(tree)
+
+
+def test_preempt_signal_saves_midepoch(tiny_run, tmp_path):
+    """SIGTERM mid-fit triggers an immediate checkpoint at the next step
+    boundary and a clean exit; a fresh Trainer resumes past that step
+    (reference analog: SLURM SIGUSR2 requeue, scripts/train.py:46-57)."""
+    import signal
+
+    root, _, _ = tiny_run
+    overrides = [
+        f"dataset.root_dir={root}",
+        "dataset._train_dataset.range_view_config.height=8",
+        "dataset._train_dataset.range_view_config.width=56",
+        "model.max_boxes=8",
+        "model._backbone.layers=[8,8,8,8,8]",
+        "model._head.fpn={1: 16}",
+        "model._head.classification_head_channels=8",
+        "model._head.regression_head_channels=8",
+        "model._head.num_classification_blocks=1",
+        "model._head.num_regression_blocks=1",
+        "model.debug=false",  # checkpointing on
+        "trainer.devices=1",
+        f"run_dir={tmp_path}/run",
+        f"trainer.checkpoint.dir={tmp_path}/ckpt",
+    ]
+    # 50 epochs x 1 step: without preemption this would run 50 steps.
+    cfg = compose(REPO / "conf", "rv-synthetic", overrides + [
+        "trainer.max_epochs=50"
+    ])
+    t1 = Trainer(cfg)
+
+    real_step = t1.train_step
+    calls = {"n": 0}
+
+    def step_then_sigterm(state, batch):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # Delivered to the REAL installed handler (raise_signal runs
+            # Python-level handlers synchronously in the main thread) —
+            # this exercises the production signal path, deterministically.
+            signal.raise_signal(signal.SIGTERM)
+        return real_step(state, batch)
+
+    t1.train_step = step_then_sigterm
+    state1 = t1.fit()
+    assert t1._preempt_requested
+    assert int(state1.step) == 2  # exited at the step the signal landed on
+    assert t1.ckpt is not None and t1.ckpt.latest_step() == 2
+    t1.ckpt.close()
+    # Handlers restored after fit.
+    assert signal.getsignal(signal.SIGTERM) not in (None,)
+
+    cfg2 = compose(REPO / "conf", "rv-synthetic", overrides + [
+        "trainer.max_epochs=1"
+    ])
+    t2 = Trainer(cfg2)
+    state2 = t2.fit()
+    assert int(state2.step) == 3  # resumed from 2, not from 0
+
+
+def test_step_interval_checkpointing(tiny_run, tmp_path):
+    """trainer.checkpoint.every_n_steps writes mid-epoch checkpoints."""
+    root, _, _ = tiny_run
+    cfg = compose(REPO / "conf", "rv-synthetic", [
+        f"dataset.root_dir={root}",
+        "dataset._train_dataset.range_view_config.height=8",
+        "dataset._train_dataset.range_view_config.width=56",
+        "model.max_boxes=8",
+        "model._backbone.layers=[8,8,8,8,8]",
+        "model._head.fpn={1: 16}",
+        "model._head.classification_head_channels=8",
+        "model._head.regression_head_channels=8",
+        "model._head.num_classification_blocks=1",
+        "model._head.num_regression_blocks=1",
+        "model.debug=false",
+        "trainer.devices=1",
+        "trainer.max_epochs=3",
+        "trainer.checkpoint.every_n_steps=1",
+        "trainer.checkpoint.keep=10",
+        f"run_dir={tmp_path}/run",
+        f"trainer.checkpoint.dir={tmp_path}/ckpt",
+    ])
+    t = Trainer(cfg)
+    t.fit()
+    t.ckpt.wait()
+    steps = sorted(
+        int(p.name) for p in (tmp_path / "ckpt").iterdir()
+        if p.name.isdigit()
+    )
+    assert steps == [1, 2, 3]  # every step, no duplicate end-of-epoch save
+    t.ckpt.close()
