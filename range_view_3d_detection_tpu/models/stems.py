@@ -11,6 +11,7 @@ FLOP-bound, and the im2col buffer dominated its runtime.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -278,8 +279,10 @@ class MetaKernel(nn.Module):
             g = pos_conv(cart, 0)
             a0, b0 = bn_eval_affine(0)
             a1, b1 = bn_eval_affine(1)
-            if quantized.mode() == "int8" and self.has_variable(
-                "quant", "stem_hh_scale"
+            if (
+                quantized.mode() == "int8"
+                and self.has_variable("quant", "stem_hh_scale")
+                and os.environ.get("RV3D_STEM_INT8", "") == "1"
             ):
                 # int8 serving stem: same contract as Int8Conv —
                 # symmetric per-tensor activation scales (calibrated via
@@ -287,6 +290,14 @@ class MetaKernel(nn.Module):
                 # weights quantized in-trace (constant-folded under the
                 # serving jit). Scale folding per
                 # kernels/stem_pallas.py::_stem_kernel_i8.
+                #
+                # OPT-IN (RV3D_STEM_INT8=1): measured on v5e (round 4,
+                # BENCH_NOTES "int8 stem verdict") the int8 stem is
+                # ~0.6-0.9 ms/batch-2 SLOWER than the bf16 fused kernel
+                # (3.80 vs 2.9 ms device) — the stem is memory/VPU-bound,
+                # so the in-kernel quantize/round/convert work outweighs
+                # the int8 MXU gain at C=256. Kept for wider-channel
+                # configs where the MXU term dominates.
                 _note_stem_path("pallas_int8")
                 s_hh = self.get_variable("quant", "stem_hh_scale")
                 s_pf = self.get_variable("quant", "stem_pf_scale")
