@@ -57,27 +57,38 @@ class RangeBackbone(nn.Module):
             else AggregationBlock
         )
 
-        res1 = RB(ch[0], num_blocks=nb[0], strides=(1, 1), **kw)(features, train)
-        res2a = RB(ch[1], num_blocks=nb[1], strides=(1, 2), **kw)(res1, train)
-        res2 = RB(ch[2], num_blocks=nb[2], strides=(1, 2), **kw)(res2a, train)
-        res3a = RB(ch[3], num_blocks=nb[3], strides=(1, 2), **kw)(res2, train)
-        res3 = RB(ch[4], num_blocks=nb[4], strides=(1, 2), **kw)(res3a, train)
+        # Explicit names: nn.remat renames a module's auto-name (e.g.
+        # ResidualBlock_0 -> CheckpointResidualBlock_0), which would give
+        # remat on/off configs DIFFERENT param trees and inits — a
+        # checkpoint trained one way could not be restored the other way.
+        # Pinning the non-remat auto-names makes remat a pure
+        # memory/time knob (asserted by test_remat_scope_matches_remat_off).
+        res1 = RB(ch[0], num_blocks=nb[0], strides=(1, 1),
+                  name="ResidualBlock_0", **kw)(features, train)
+        res2a = RB(ch[1], num_blocks=nb[1], strides=(1, 2),
+                   name="ResidualBlock_1", **kw)(res1, train)
+        res2 = RB(ch[2], num_blocks=nb[2], strides=(1, 2),
+                  name="ResidualBlock_2", **kw)(res2a, train)
+        res3a = RB(ch[3], num_blocks=nb[3], strides=(1, 2),
+                   name="ResidualBlock_3", **kw)(res2, train)
+        res3 = RB(ch[4], num_blocks=nb[4], strides=(1, 2),
+                  name="ResidualBlock_4", **kw)(res3a, train)
 
         agg2 = AB(
             ch[2], kernel_size=(3, 8), strides=(1, 4), padding=(1, 2), num_blocks=2,
-            **kw,
+            name="AggregationBlock_0", **kw,
         )(res2, res3, train)
         agg1 = AB(
             ch[0], kernel_size=(3, 8), strides=(1, 4), padding=(1, 2), num_blocks=2,
-            **kw,
+            name="AggregationBlock_1", **kw,
         )(res1, res2, train)
         agg2a = AB(
             ch[1], kernel_size=(3, 4), strides=(1, 2), padding=(1, 1), num_blocks=1,
-            **kw,
+            name="AggregationBlock_2", **kw,
         )(res2a, agg2, train)
         agg3 = AB(
             ch[0], kernel_size=(3, 4), strides=(1, 2), padding=(1, 1), num_blocks=2,
-            **kw,
+            name="AggregationBlock_3", **kw,
         )(agg1, agg2a, train)
 
         agg3 = jnp.concatenate([features, agg3], axis=-1)
@@ -96,7 +107,12 @@ class RangeNet(nn.Module):
     num_neighbors: int = 3
     num_layers: int = 2
     projection_kernel_size: int = 1
+    # Remat (activation checkpointing) is scoped per module group so the
+    # trainer can trade recompute bytes/FLOPs for HBM fit selectively
+    # (``DetectorConfig.remat_scope``): ``remat`` checkpoints the stem,
+    # ``remat_stages`` the backbone stages + aggregation nodes.
     remat: bool = False
+    remat_stages: bool = False
     stem_pallas: bool = False  # fused Pallas eval path for the META stem
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -123,6 +139,8 @@ class RangeNet(nn.Module):
                 num_neighbors=self.num_neighbors,
                 num_layers=self.num_layers,
                 use_pallas_kernel=self.stem_pallas,
+                # Pin the non-remat auto-name (see RangeBackbone note).
+                name="MetaKernel_0",
                 **kw,
             )(features, cart, train)
         elif stem_type == "RANGE_PARTITION":
@@ -134,6 +152,7 @@ class RangeNet(nn.Module):
             stem = RP(
                 self.layers[0],
                 projection_kernel_size=self.projection_kernel_size,
+                name="RangePartition_0",
                 **kw,
             )(features, cart, mask.astype(self.dtype), train)
         elif stem_type == "BASIC":
@@ -149,6 +168,7 @@ class RangeNet(nn.Module):
                     self.projection_kernel_size,
                 ),
                 project=True,
+                name="BasicBlock_0",
                 **kw,
             )(features, train)
         else:
@@ -156,6 +176,6 @@ class RangeNet(nn.Module):
         return RangeBackbone(
             self.layers,
             stage_blocks=self.stage_blocks,
-            remat=self.remat,
+            remat=self.remat_stages,
             **kw,
         )(stem, train=train)

@@ -81,6 +81,13 @@ class DetectorConfig:
     # (nn.remat): trades recompute for activation memory — the v5e has
     # 16 GB HBM vs the reference A40's 48 GB.
     remat: bool = False
+    # Which module groups remat applies to when remat=True. Training is
+    # bandwidth-bound (BENCH_NOTES "training-step roofline"): remat ADDS
+    # bytes+FLOPs, so checkpoint only the groups needed for HBM fit.
+    # The stem's stacked-neighbor path and the full-width 512-ch head
+    # towers dominate activation memory; the strided backbone stages are
+    # comparatively small. Hardware-gridded in BENCH_NOTES r4.
+    remat_scope: Tuple[str, ...] = ("stem", "stages", "heads", "loss")
     # Fused Pallas eval path for the META stem (kernels/stem_pallas.py).
     stem_pallas: bool = False
 
@@ -114,6 +121,7 @@ class Detector(nn.Module):
         dt = cfg.compute_dtype
         maskf = mask[..., None].astype(jnp.float32)
 
+        scope = set(cfg.remat_scope) if cfg.remat else set()
         multiscale = RangeNet(
             layers=cfg.layers,
             stage_blocks=cfg.stage_blocks,
@@ -121,7 +129,8 @@ class Detector(nn.Module):
             num_neighbors=cfg.num_neighbors,
             num_layers=cfg.num_stem_layers,
             projection_kernel_size=cfg.projection_kernel_size,
-            remat=cfg.remat,
+            remat="stem" in scope,
+            remat_stages="stages" in scope,
             stem_pallas=cfg.stem_pallas,
             dtype=dt,
             param_dtype=jnp.float32,
@@ -136,7 +145,7 @@ class Detector(nn.Module):
             num_classification_blocks=cfg.num_classification_blocks,
             num_regression_blocks=cfg.num_regression_blocks,
             final_kernel_size=cfg.final_kernel_size,
-            remat=cfg.remat,
+            remat="heads" in scope,
             dtype=dt,
             param_dtype=jnp.float32,
         )(multiscale, train=train)

@@ -101,6 +101,16 @@ def build_detector_config(cfg: Dict[str, Any]) -> DetectorConfig:
         targets=targets,
         max_boxes=int(m.get("max_boxes", 256)),
         dtype="bfloat16" if str(m.get("precision", "bfloat16")).startswith("bf") else "float32",
+        # Activation checkpointing: ++model.remat=true for 16 GB fit;
+        # ++model.remat_scope=[stem,heads,loss] to scope it (training is
+        # bandwidth-bound — remat only what HBM fit requires).
+        remat=bool(m.get("remat", False)),
+        remat_scope=tuple(
+            str(s)
+            for s in m.get(
+                "remat_scope", ("stem", "stages", "heads", "loss")
+            )
+        ),
     )
 
 

@@ -136,7 +136,7 @@ def make_train_step(
         def loss_from_outputs(outputs):
             return detection_loss(outputs, batch, config, tgts=tgts)
 
-        if config.remat:
+        if config.remat and "loss" in config.remat_scope:
             loss_from_outputs = jax.checkpoint(loss_from_outputs)
 
         def loss_fn(params):

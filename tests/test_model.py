@@ -156,3 +156,26 @@ def test_remat_train_step():
     step = state_lib.make_train_step(cfg, tx)
     st, m = step(st, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_remat_scope_matches_remat_off():
+    """Scoped remat (any subset) is a pure memory/time trade: the loss is
+    bit-identical to remat off — checkpointing must never change math."""
+    import dataclasses
+
+    batch = tiny_batch()
+    tx, _ = optim.make_optimizer(1e-3, 10, debug=True)
+    losses = {}
+    for name, kw in (
+        ("off", dict(remat=False)),
+        ("stem+loss", dict(remat=True, remat_scope=("stem", "loss"))),
+        ("heads", dict(remat=True, remat_scope=("heads",))),
+        ("all", dict(remat=True)),
+    ):
+        cfg = dataclasses.replace(tiny_config(), **kw)
+        st = state_lib.create_state(jax.random.PRNGKey(2), cfg, tx, batch)
+        _, m = state_lib.make_train_step(cfg, tx)(st, batch)
+        losses[name] = float(m["loss"])
+    base = losses["off"]
+    for name, v in losses.items():
+        np.testing.assert_allclose(v, base, rtol=1e-6, err_msg=name)

@@ -135,9 +135,13 @@ def _detector_config_from_meta(d: dict):
         (int(t), tuple(cats)) for t, cats in d["tasks"]
     )
     d["layers"] = tuple(int(x) for x in d["layers"])
-    # Default for artifacts written before stage_blocks existed.
+    # Defaults for artifacts written before these fields existed.
     d["stage_blocks"] = tuple(
         int(x) for x in d.get("stage_blocks", (2, 3, 3, 5, 5))
+    )
+    d["remat_scope"] = tuple(
+        str(s)
+        for s in d.get("remat_scope", ("stem", "stages", "heads", "loss"))
     )
     d["fpn"] = tuple((int(k), int(v)) for k, v in d["fpn"])
     d["fpn_kernel_sizes"] = tuple(
