@@ -36,6 +36,18 @@ def run_seed(seed: int, work: Path, epochs: int, verbose: bool) -> dict:
     root = work / f"sensor_s{seed}"
     run_dir = work / f"run_s{seed}"
     out_dir = work / f"quant_s{seed}"
+    if (out_dir / "summary.json").exists():
+        # Resumable: a completed seed is never re-trained.
+        summary = json.loads((out_dir / "summary.json").read_text())
+        from range_view_3d_detection_tpu.evaluation.av2_eval import (
+            load_ground_truth,
+        )
+
+        gts = load_ground_truth(root / "val")
+        summary["num_val_gts"] = int(
+            (np.asarray(gts["num_interior_pts"]) > 0).sum()
+        )
+        return summary
     # val: 3 logs x 24 sweeps x ~8 boxes ~= 576 GTs before point filters.
     generate_dataset(
         root,
