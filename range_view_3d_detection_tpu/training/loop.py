@@ -24,7 +24,6 @@ from range_view_3d_detection_tpu.data.dataset import (
 )
 from range_view_3d_detection_tpu.models.decoder import DecoderConfig
 from range_view_3d_detection_tpu.models.detector import DetectorConfig
-from range_view_3d_detection_tpu.ops.geometry import yaw_to_quat
 from range_view_3d_detection_tpu.parallel import (
     fetch_local,
     make_mesh,
@@ -90,7 +89,13 @@ def flatten_detections(result, uuids, categories) -> Dict[str, np.ndarray]:
     for b, (log_id, ts) in enumerate(uuids):
         sel = keep[b]
         cub = cuboids[b][sel]
-        quat = np.asarray(yaw_to_quat(cub[:, 6]))
+        # Host-side quat (same math as ops/geometry.py::yaw_to_quat): a
+        # jnp call here dispatches a per-sweep op to the device — through
+        # a remote-tunnel backend that is ~100 ms per sweep, and the 1k
+        # scale drill measured it at 80% of the predict+shard wall.
+        half = cub[:, 6] * 0.5
+        zeros = np.zeros_like(half)
+        quat = np.stack([np.cos(half), zeros, zeros, np.sin(half)], axis=-1)
         for i, name in enumerate(
             ("tx_m", "ty_m", "tz_m", "length_m", "width_m", "height_m")
         ):

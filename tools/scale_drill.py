@@ -33,6 +33,13 @@ def main() -> None:
     ap.add_argument("--sweeps", type=int, default=1000)
     ap.add_argument("--logs", type=int, default=10)
     ap.add_argument("--eval-workers", type=int, default=0)
+    ap.add_argument(
+        "--dense",
+        action="store_true",
+        help="min_confidence=0 + post-NMS cap 200/sweep: random weights sit "
+        "below the 0.1 confidence floor (focal prior bias), which starves "
+        "the evaluators; dense mode gives them a realistic det load.",
+    )
     ap.add_argument("--work", default="/tmp/scale_drill")
     ap.add_argument("--out", default="/tmp/scale_drill/walls.json")
     args = ap.parse_args()
@@ -112,6 +119,12 @@ def main() -> None:
 
     det_cfg = build_detector_config(cfg)
     dec_cfg = build_decoder_config(cfg)
+    if args.dense:
+        import dataclasses
+
+        dec_cfg = dataclasses.replace(
+            dec_cfg, min_confidence=0.0, num_post_nms=200
+        )
     model = Detector(det_cfg)
     categories = []
     for _, cats in sorted(det_cfg.tasks, key=lambda kv: kv[0]):
@@ -134,10 +147,17 @@ def main() -> None:
 
     pred_dir = work / "predictions"
     pred_dir.mkdir(parents=True, exist_ok=True)
+    # Predict vs host post-process vs shard-write walls are attributed
+    # separately (the round-4 1k run's single 105 s stage was opaque).
+    t_pred = t_host = 0.0
     with stage("predict + shard writes"):
         loader = DataLoader(ds, 2, shuffle=False, drop_last=False)
         for batch in loader:
+            t0 = time.perf_counter()
             result = predict(batch["features"], batch["cart"], batch["mask"])
+            jax.block_until_ready(result.keep)
+            t_pred += time.perf_counter() - t0
+            t0 = time.perf_counter()
             cols = flatten_detections(result, batch["uuids"], categories)
             for log_id, ts in batch["uuids"]:
                 m = (cols["log_id"] == log_id) & (cols["timestamp_ns"] == ts)
@@ -145,6 +165,9 @@ def main() -> None:
                 shard["category"] = shard["category"].astype(str)
                 shard["log_id"] = shard["log_id"].astype(str)
                 write_feather(pred_dir / f"{log_id}_{ts}.feather", shard)
+            t_host += time.perf_counter() - t0
+    walls["predict (device, s)"] = round(t_pred, 2)
+    walls["flatten + shard writes (s)"] = round(t_host, 2)
     walls["predict_frames_per_s"] = round(
         frames / walls["predict + shard writes"], 1
     )
