@@ -43,6 +43,14 @@ this module reimplements the protocol:
   cross-checks against an independent brute-force oracle.
 - SIGN excluded from the mean AP (``tools/benchmark.py:188-204``
   semantics).
+- **APH** (beyond the reference: ``evaluate.py:429,436`` unpacks the
+  official evaluator's ``aph`` and discards it — only AP reaches the
+  results table): heading-weighted AP per the WOD paper. Every TP
+  contributes ``1 - |Δyaw|/π`` (Δyaw wrapped to [0, π]) to the
+  precision/recall NUMERATORS; denominators stay unweighted, so
+  APH <= AP bandwise, equal iff all matched headings are exact. Keys
+  ``{cat}/L{level}/{band}/APH_{mode}``; hand-derived goldens in
+  ``tests/test_eval_golden.py``.
 """
 
 from __future__ import annotations
@@ -140,6 +148,8 @@ class _SweepCase(NamedTuple):
     d_range: np.ndarray
     g_l2: np.ndarray
     thr: float
+    d_yaw: np.ndarray
+    g_yaw: np.ndarray
 
 
 def _in_band(rng: np.ndarray, lo: float, hi: float) -> np.ndarray:
@@ -148,8 +158,9 @@ def _in_band(rng: np.ndarray, lo: float, hi: float) -> np.ndarray:
     return (rng >= lo) & (rng < hi) if lo else rng < hi
 
 
-def _case_band_stats(args) -> Tuple[np.ndarray, np.ndarray]:
-    """(cutoff, band, level) tp/fp totals for ONE (sweep, category) case.
+def _case_band_stats(args) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cutoff, band, level) tp/fp/heading totals for ONE (sweep,
+    category) case.
 
     Matching depends on the cutoff only through the score-prefix length
     ``k``: map all cutoffs to their ``k`` with one searchsorted, run one
@@ -157,35 +168,50 @@ def _case_band_stats(args) -> Tuple[np.ndarray, np.ndarray]:
     stats into per-cutoff totals. Module-level and arg-tuple-packed so a
     ``ProcessPoolExecutor`` can map it (the per-prefix scipy LSAP solves
     are the eval's dominant cost and embarrassingly parallel over cases).
+
+    The third return is the heading-accuracy-weighted TP sum (for APH):
+    each match contributes ``1 - |Δyaw|/π`` with ``Δyaw`` wrapped to
+    ``[-π, π]`` (WOD paper §"APH": a 180°-flipped heading counts zero).
     """
-    scores, iou, g_range, d_range, g_l2, thr, cut_arr = args
+    scores, iou, g_range, d_range, g_l2, thr, d_yaw, g_yaw, cut_arr = args
     nb = len(RANGE_BREAKDOWNS)
     ncut = len(cut_arr)
     g_in = [_in_band(g_range, lo, hi) for lo, hi in RANGE_BREAKDOWNS]
     d_in = [_in_band(d_range, lo, hi) for lo, hi in RANGE_BREAKDOWNS]
     tp_total = np.zeros((ncut, nb, 2), np.int64)
     fp_total = np.zeros((ncut, nb), np.int64)
+    tph_total = np.zeros((ncut, nb, 2), np.float64)
     ks = np.searchsorted(-scores, -cut_arr, side="right")
     for k in np.unique(ks):
         k = int(k)
         matches = match_prefix(iou, k, thr)
         tp = np.zeros((nb, 2), np.int64)
         fp = np.zeros(nb, np.int64)
+        tph = np.zeros((nb, 2), np.float64)
         mi = np.asarray([i for i, _ in matches], np.int64)
         mj = np.asarray([j for _, j in matches], np.int64)
         matched_d = np.zeros(k, bool)
         matched_d[mi] = True
         hard = g_l2[mj] if len(mj) else np.zeros(0, bool)
+        if len(mj):
+            dyaw = np.abs(d_yaw[mi] - g_yaw[mj]) % (2 * np.pi)
+            dyaw = np.minimum(dyaw, 2 * np.pi - dyaw)  # wrap to [0, π]
+            ha = 1.0 - dyaw / np.pi
+        else:
+            ha = np.zeros(0)
         for bi in range(nb):
             hit = g_in[bi][mj] if len(mj) else np.zeros(0, bool)
             tp[bi, 1] = int(hit.sum())  # level 2: every match
             tp[bi, 0] = int((hit & ~hard).sum())  # L1: ignore L2 GTs
+            tph[bi, 1] = float(ha[hit].sum())
+            tph[bi, 0] = float(ha[hit & ~hard].sum())
             # Unmatched detections bucket by their own range.
             fp[bi] = int((~matched_d & d_in[bi][:k]).sum())
         sel = ks == k
         tp_total[sel] += tp
         fp_total[sel] += fp
-    return tp_total, fp_total
+        tph_total[sel] += tph
+    return tp_total, fp_total, tph_total
 
 
 def evaluate_waymo(
@@ -305,6 +331,8 @@ def _evaluate_waymo_impl(
                     np.linalg.norm(dbox[:, :2], axis=-1),
                     gt_level2[gsel],
                     thr,
+                    dbox[:, 6],
+                    gbox[:, 6],
                 )
             )
 
@@ -326,8 +354,10 @@ def _evaluate_waymo_impl(
         ncut = len(cut_arr)
         tp_total = np.zeros((ncut, nb, 2), np.int64)
         fp_total = np.zeros((ncut, nb), np.int64)
+        tph_total = np.zeros((ncut, nb, 2), np.float64)
         case_args = [
-            (c.scores, c.iou, c.g_range, c.d_range, c.g_l2, c.thr, cut_arr)
+            (c.scores, c.iou, c.g_range, c.d_range, c.g_l2, c.thr,
+             c.d_yaw, c.g_yaw, cut_arr)
             for c in cases
         ]
         if pool is not None and len(case_args) > 1:
@@ -335,15 +365,17 @@ def _evaluate_waymo_impl(
             stats = pool.map(_case_band_stats, case_args, chunksize=chunk)
         else:
             stats = map(_case_band_stats, case_args)
-        for tp_c, fp_c in stats:
+        for tp_c, fp_c, tph_c in stats:
             tp_total += tp_c
             fp_total += fp_c
+            tph_total += tph_c
 
         for bi, (lo, hi) in enumerate(RANGE_BREAKDOWNS):
             num_gt = band_num_gt[bi]
             for level in (1, 2):
                 n_tp = tp_total[:, bi, level - 1].astype(np.float64)
                 n_fp = fp_total[:, bi].astype(np.float64)
+                n_tph = tph_total[:, bi, level - 1]
                 n_det = n_tp + n_fp
                 precisions = np.where(n_det > 0, n_tp / np.maximum(n_det, 1), 1.0)
                 recalls = (
@@ -356,8 +388,28 @@ def _evaluate_waymo_impl(
                     if num_gt[level]
                     else 0.0
                 )
+                # APH (WOD paper): the same curve with every TP count in
+                # the NUMERATORS replaced by its heading-accuracy-weighted
+                # sum; denominators (detections, GTs) stay unweighted, so
+                # APH <= AP with equality iff every match has exact
+                # heading. The recall-gap penalty applies on the weighted
+                # recall axis like the official metric op.
+                precisions_h = np.where(
+                    n_det > 0, n_tph / np.maximum(n_det, 1), 1.0
+                )
+                recalls_h = (
+                    n_tph / num_gt[level]
+                    if num_gt[level]
+                    else np.zeros(ncut)
+                )
+                aph = (
+                    _ap_from_pr(precisions_h, recalls_h, max_recall_delta)
+                    if num_gt[level]
+                    else 0.0
+                )
                 hi_s = "inf" if np.isinf(hi) else f"{hi:g}"
                 out[f"{cat}/L{level}/{lo:g}-{hi_s}/AP_{mode}"] = ap
+                out[f"{cat}/L{level}/{lo:g}-{hi_s}/APH_{mode}"] = aph
 
     return out
 
@@ -390,19 +442,27 @@ def _ap_from_pr(
     return float((0.5 * (p[1:] + p[:-1]) * dr).sum())
 
 
-def mean_ap(results: Dict[str, float], *, level: int = 2, mode: str = "3d") -> float:
-    """Mean all-range AP over non-SIGN categories."""
+def mean_ap(
+    results: Dict[str, float],
+    *,
+    level: int = 2,
+    mode: str = "3d",
+    metric: str = "AP",
+) -> float:
+    """Mean all-range AP (or APH via ``metric="APH"``) over non-SIGN
+    categories."""
+    suffix = f"/{metric}_{mode}"
     keys = [
         k
         for k in results
-        if f"/L{level}/0-inf/" in k and k.endswith(f"AP_{mode}")
+        if f"/L{level}/0-inf/" in k and k.endswith(suffix)
         and not k.startswith("SIGN")
     ]
     if not keys:
         keys = [
             k
             for k in results
-            if f"/L{level}/" in k and k.endswith(f"AP_{mode}")
+            if f"/L{level}/" in k and k.endswith(suffix)
             and not k.startswith("SIGN")
         ]
     return float(np.mean([results[k] for k in keys])) if keys else 0.0

@@ -642,3 +642,82 @@ def test_waymo_l1_ignore_with_penalty_arithmetic():
     res = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
     np.testing.assert_allclose(res["VEHICLE/L1/0-inf/AP_bev"], 0.1, atol=1e-9)
     np.testing.assert_allclose(res["VEHICLE/L2/0-inf/AP_bev"], 0.15, atol=1e-9)
+
+def test_waymo_aph_by_hand():
+    """APH golden: heading-weighted AP (beyond the reference, which
+    discards the official evaluator's aph output — evaluate.py:429,436).
+
+    Square 2x2 boxes so yaw error never moves IoU (a square rotated by
+    pi/2 or pi maps onto itself): both dets match with IoU 1, only the
+    heading weight differs.
+    - GT1 (10,0) yaw 0; det A same spot, yaw pi/2, score 0.9 ->
+      heading accuracy ha = 1 - (pi/2)/pi = 0.5.
+    - GT2 (20,0) yaw 0; det B same spot, yaw pi (flipped), score 0.7 ->
+      ha = 1 - pi/pi = 0 (a 180-degree flip counts zero, per the WOD
+      paper's APH definition).
+
+    Cutoffs c in linspace(0, 1, 101), both GTs L1:
+    - AP (unpenalized): P = 1 at every cutoff (no FPs; empty-prefix
+      convention P=1), recall reaches 1.0 -> AP = 1.0.
+    - APH (unpenalized): weighted TP sums: c <= 0.7 -> 0.5 + 0 = 0.5
+      (Ph = 0.5/2 = 0.25, Rh = 0.5/2 = 0.25); 0.7 < c <= 0.9 -> 0.5
+      (Ph = 0.5/1 = 0.5, Rh = 0.25); c > 0.9 -> empty prefix, Ph = 1,
+      Rh = 0. Monotone envelope at Rh = 0.25 is max(0.25, 0.5) = 0.5;
+      the only nonzero-width interval is Rh 0 -> 0.25 with envelope
+      precisions (1.0, 0.5): APH = 0.5 * (1.0 + 0.5) * 0.25 = 0.1875.
+    - Penalized (max_recall_delta 0.05): AP has two 0.5-recall jumps
+      each clipped to 0.05 at P=1 -> 0.1; APH's single 0.25 jump clips
+      to 0.05 -> 0.5 * 1.5 * 0.05 = 0.0375.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [10.0, 0.0, 0.0, 2.0, 2.0, 1.5, 0.0, ts],
+            [20.0, 0.0, 0.0, 2.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[100, 100],
+    )
+    dts = _frame(
+        [
+            [10.0, 0.0, 0.0, 2.0, 2.0, 1.5, np.pi / 2, ts],
+            [20.0, 0.0, 0.0, 2.0, 2.0, 1.5, np.pi, ts],
+        ],
+        scores=[0.9, 0.7],
+    )
+    raw = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
+    np.testing.assert_allclose(raw["VEHICLE/L1/0-inf/AP_bev"], 1.0, atol=1e-7)
+    np.testing.assert_allclose(
+        raw["VEHICLE/L1/0-inf/APH_bev"], 0.1875, atol=1e-7
+    )
+    pen = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    np.testing.assert_allclose(pen["VEHICLE/L1/0-inf/AP_bev"], 0.1, atol=1e-7)
+    np.testing.assert_allclose(
+        pen["VEHICLE/L1/0-inf/APH_bev"], 0.0375, atol=1e-7
+    )
+    # mean APH selector + the APH <= AP invariant on every band.
+    assert waymo_eval.mean_ap(pen, mode="bev", metric="APH") <= (
+        waymo_eval.mean_ap(pen, mode="bev")
+    )
+    for k, v in pen.items():
+        if "/APH_" in k:
+            assert v <= pen[k.replace("/APH_", "/AP_")] + 1e-12, k
+
+
+def test_waymo_aph_exact_headings_equal_ap():
+    """With every matched heading exact, APH == AP on all keys (the
+    weighted numerators coincide with the counts)."""
+    ts = 1_000_000_000
+    gts = _frame(
+        [[10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.3, ts]], pts=[100]
+    )
+    dts = _frame(
+        [[10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.3, ts]], scores=[0.8]
+    )
+    res = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    for k, v in res.items():
+        if "/APH_" in k:
+            np.testing.assert_allclose(
+                v, res[k.replace("/APH_", "/AP_")], atol=1e-12
+            )
