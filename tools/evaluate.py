@@ -69,6 +69,7 @@ def main():
             dts, gts, categories, workers=args.workers
         )
         metrics["mAP_L2"] = mean_ap(metrics, level=2)
+        metrics["mAPH_L2"] = mean_ap(metrics, level=2, metric="APH")
 
     print(json.dumps(metrics, indent=2, default=float))
 

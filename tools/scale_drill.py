@@ -40,11 +40,23 @@ def main() -> None:
         "below the 0.1 confidence floor (focal prior bias), which starves "
         "the evaluators; dense mode gives them a realistic det load.",
     )
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="Force the CPU backend in-process. The JAX_PLATFORMS env "
+        "var is NOT sufficient on axon images: the baked sitecustomize "
+        "(axon.register) pins jax_platforms='axon,cpu' from inside the "
+        "process, so an env prefix is silently overridden and predict "
+        "runs on the tunneled TPU (BENCH_NOTES round-4 drill note).",
+    )
     ap.add_argument("--work", default="/tmp/scale_drill")
     ap.add_argument("--out", default="/tmp/scale_drill/walls.json")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from range_view_3d_detection_tpu.data.dataset import (
         DataLoader,
@@ -190,6 +202,10 @@ def main() -> None:
             categories,
             workers=args.eval_workers,
         )
+    from range_view_3d_detection_tpu.evaluation.waymo_eval import mean_ap
+
+    walls["wod_mAP_L2"] = round(mean_ap(wod, level=2), 4)
+    walls["wod_mAPH_L2"] = round(mean_ap(wod, level=2, metric="APH"), 4)
     walls["num_dets"] = int(len(dts["score"]))
     walls["num_gts"] = int(len(gts["tx_m"]))
     walls["sweeps"] = n
