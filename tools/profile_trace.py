@@ -50,9 +50,13 @@ def summarize(trace_dir: str, top: int = 30) -> None:
     module_ms = 0.0
     for e in data.get("traceEvents", []):
         if e.get("ph") == "X" and e.get("dur", 0) > 0 and e.get("pid") in lanes:
+            # Exclude whole-module spans: the jit_* entry AND its bare
+            # program-id twin (an all-digits lane name, e.g. '0', that
+            # mirrors the module duration) — both already equal the sum
+            # of their children and would double-count the total.
             if e["name"].startswith(("jit_", "jit__")):
                 module_ms += e["dur"] / 1e3
-            else:
+            elif not e["name"].isdigit():
                 agg[e["name"]] += e["dur"]
     total = sum(agg.values())
     print(
@@ -101,7 +105,50 @@ def main():
         help="profile the int8 PTQ serving path (models/quantized.py): "
         "calibrate on one synthetic batch, then trace the int8 forward",
     )
+    ap.add_argument(
+        "--train",
+        action="store_true",
+        help="trace the FULL jitted train step (forward + targets + loss "
+        "+ backward + AdamW) instead of the serving forward — per-op "
+        "attribution of the training recipe (flagship geometry; "
+        "--batch/--remat-scope select the recipe point)",
+    )
+    ap.add_argument(
+        "--remat-scope",
+        default="",
+        help="comma list for --train (e.g. stem,heads,loss); empty = "
+        "remat off (the round-4 batch-1 recipe)",
+    )
     args = ap.parse_args()
+
+    if args.train and not args.summarize_only:
+        import dataclasses
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from __graft_entry__ import _flagship_config
+        from profile_train import make_batch, sync
+        from range_view_3d_detection_tpu.training import (
+            optim,
+            state as state_lib,
+        )
+
+        K = 64
+        scope = tuple(s for s in args.remat_scope.split(",") if s)
+        cfg = dataclasses.replace(
+            _flagship_config(), max_boxes=K, remat=bool(scope),
+            **({"remat_scope": scope} if scope else {}),
+        )
+        batch = make_batch(args.batch, args.height, args.width, 5, K)
+        tx, _ = optim.make_optimizer(1e-3, 100)
+        st = state_lib.create_state(jax.random.PRNGKey(0), cfg, tx, batch)
+        step = state_lib.make_train_step(cfg, tx)
+        st, m = step(st, batch)
+        sync(m["loss"])  # compile + warm outside the trace
+        with jax.profiler.trace(args.out):
+            st, m = step(st, batch)
+            sync(m["loss"])
+        summarize(args.out)
+        return
 
     if not args.summarize_only:
         from __graft_entry__ import _flagship_config, _sample_inputs
