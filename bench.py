@@ -38,6 +38,9 @@ BENCH_POINTS = os.environ.get("RV3D_BENCH_POINTS", "") == "1"
 
 def _run(batch: int) -> float:
     from __graft_entry__ import _flagship_config, _sample_inputs
+    from range_view_3d_detection_tpu.utils.compile_opts import (
+        jit_env_options,
+    )
     from range_view_3d_detection_tpu.models.decoder import DecoderConfig, decode
     from range_view_3d_detection_tpu.models.detector import Detector
 
@@ -63,7 +66,7 @@ def _run(batch: int) -> float:
         vars_q = dict(folded)
         vars_q["quant"] = calibrate_scales(model, folded, [(feats, cart, mask)])
 
-        @jax.jit
+        @jit_env_options
         def pipeline_q(feats, cart, mask):
             with quantization("int8"):
                 out = model.apply(vars_q, feats, cart, mask, train=False)
@@ -101,7 +104,7 @@ def _run(batch: int) -> float:
             )
 
         def with_points_frontend(inner):
-            @jax.jit
+            @jit_env_options
             def pts_pipeline(xyz, laser, inten):
                 return inner(*jax.vmap(rasterize)(xyz, laser, inten))
 
@@ -127,7 +130,7 @@ def _run(batch: int) -> float:
 
     if pipeline is None:
 
-        @jax.jit
+        @jit_env_options
         def pipeline_fp(feats, cart, mask):
             out = model.apply(variables, feats, cart, mask, train=False)
             return decode(out, dec_cfg, tasks, use_nms=True)
