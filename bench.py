@@ -45,7 +45,10 @@ def _run(batch: int) -> float:
     from range_view_3d_detection_tpu.models.detector import Detector
 
     cfg = _flagship_config()
-    dec_cfg = DecoderConfig(nms_cap=1024)
+    # Default DecoderConfig == conf/model/range_view.yaml (nms_cap 2048):
+    # the fps headline and the accuracy certifications are measured at ONE
+    # operating point (VERDICT r4 weak #2).
+    dec_cfg = DecoderConfig()
     model = Detector(cfg)
     feats, cart, mask = _sample_inputs(batch, 64, 1808, 5)
     variables = model.init(jax.random.PRNGKey(0), feats, cart, mask, train=False)

@@ -354,7 +354,13 @@ class Trainer:
                     if step % 10 == 0 or step == 1:
                         m = {k: v for k, v in metrics.items()}
                         m["epoch"] = epoch
-                        m["lr"] = self.schedule(step // self.accum_steps)
+                        # The optimizer's schedule count increments AFTER
+                        # each applied update, so the most recent update
+                        # used schedule(applied - 1) (pinned by
+                        # tests/test_optim.py::test_logged_lr_matches_...).
+                        m["lr"] = self.schedule(
+                            max(step // self.accum_steps - 1, 0)
+                        )
                         m["wall_time"] = time.time() - t0
                         self.logger.log(m, step)
                     if self.train_log_freq and step % self.train_log_freq == 0:

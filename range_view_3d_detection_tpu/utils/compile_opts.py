@@ -45,9 +45,15 @@ def parse_options(spec: str) -> Dict[str, str]:
 
 
 def _arg_key(args) -> Tuple:
-    return tuple(
-        (getattr(a, "shape", None), str(getattr(a, "dtype", type(a))))
-        for a in jax.tree_util.tree_leaves(args)
+    # Key on pytree STRUCTURE + leaf (shape, dtype): two calls with
+    # different structures but identical leaf specs must not share an
+    # executable (ADVICE r4).
+    return (
+        jax.tree_util.tree_structure(args),
+        tuple(
+            (getattr(a, "shape", None), str(getattr(a, "dtype", type(a))))
+            for a in jax.tree_util.tree_leaves(args)
+        ),
     )
 
 
@@ -60,7 +66,12 @@ def jit_env_options(fn: Callable) -> Callable:
     options = parse_options(spec)
     cache: Dict[Tuple, Callable] = {}
 
-    def wrapper(*args):
+    def wrapper(*args, **kwargs):
+        if kwargs:
+            raise TypeError(
+                "jit_env_options wrapper is positional-only under "
+                f"{ENV_VAR} (kwargs are not part of the compile cache key)"
+            )
         key = _arg_key(args)
         if key not in cache:
             cache[key] = jitted.lower(*args).compile(options)
