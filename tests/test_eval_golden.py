@@ -721,3 +721,289 @@ def test_waymo_aph_exact_headings_equal_ap():
             np.testing.assert_allclose(
                 v, res[k.replace("/APH_", "/AP_")], atol=1e-12
             )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 goldens (VERDICT r4 next #8): APH x penalty x FP interactions,
+# AV2 TP-error means / wrap / zero-TP-category averaging, Hungarian-vs-
+# greedy matching, FP band bucketing, cross-sweep isolation. As above:
+# every expected value derived by hand in the docstring.
+# ---------------------------------------------------------------------------
+
+
+def _frame_cats(rows, cats, *, scores=None, pts=None):
+    out = _frame(rows, scores=scores, pts=pts)
+    out["category"] = np.asarray(cats)
+    return out
+
+
+def test_av2_zero_tp_category_and_average_over_present_only():
+    """Zero-TP category takes error maxima; AVERAGE means only categories
+    with GTs.
+
+    - VEHICLE: perfect det -> AP 1, ATE 0, ASE 0, AOE 0, CDS 1.
+    - PEDESTRIAN: det 5 m from its GT (> 4 m, outside every threshold)
+      -> AP 0; no TPs -> ATE 2, ASE 1, AOE pi -> CDS 0.
+    - BICYCLE: requested but has NO GTs -> excluded from the average
+      (devkit averages over categories present in the GT split).
+    AVERAGE: AP (1+0)/2 = 0.5, ATE (0+2)/2 = 1, ASE 0.5, AOE pi/2,
+    CDS (1+0)/2 = 0.5 — were BICYCLE wrongly included, every average
+    would shrink by 2/3.
+    """
+    ts = 1_000_000_000
+    gts = _frame_cats(
+        [
+            [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [20.0, 0.0, 0.0, 1.0, 1.0, 1.8, 0.0, ts],
+        ],
+        ["VEHICLE", "PEDESTRIAN"],
+        pts=[50, 50],
+    )
+    dts = _frame_cats(
+        [
+            [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [25.0, 0.0, 0.0, 1.0, 1.0, 1.8, 0.0, ts],
+        ],
+        ["VEHICLE", "PEDESTRIAN"],
+        scores=[0.9, 0.8],
+    )
+    res = av2_eval.evaluate(
+        dts, gts, ["VEHICLE", "PEDESTRIAN", "BICYCLE"]
+    )
+    ped = res["PEDESTRIAN"]
+    np.testing.assert_allclose(ped["AP"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(ped["ATE"], 2.0, atol=1e-9)
+    np.testing.assert_allclose(ped["ASE"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(ped["AOE"], np.pi, atol=1e-9)
+    np.testing.assert_allclose(ped["CDS"], 0.0, atol=1e-9)
+    assert res["BICYCLE"]["num_gts"] == 0.0
+    avg = res["AVERAGE_METRICS"]
+    np.testing.assert_allclose(avg["AP"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(avg["ATE"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(avg["ASE"], 0.5, atol=1e-9)
+    np.testing.assert_allclose(avg["AOE"], np.pi / 2, atol=1e-9)
+    np.testing.assert_allclose(avg["CDS"], 0.5, atol=1e-9)
+
+
+def test_av2_tp_error_means_over_multiple_tps():
+    """ATE/ASE/AOE are MEANS over the TPs at the 2 m threshold.
+
+    Two far-separated GTs, one det each (both TP at every threshold):
+    - det1: 0.2 m offset, exact dims, +0.3 rad yaw.
+    - det2: 0.4 m offset, dims scaled 0.9 on all axes, +0.5 rad yaw.
+    ATE = (0.2 + 0.4)/2 = 0.3.
+    ASE: det1 0; det2 aligned IoU = 0.9^3 V / (V + 0.729V - 0.729V)
+    = 0.729 -> 0.271. mean = 0.1355.
+    AOE = (0.3 + 0.5)/2 = 0.4. AP = 1 (2 TPs, no FPs).
+    CDS = mean(1 - 0.3/2, 1 - 0.1355, 1 - 0.4/pi).
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [30.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[50, 50],
+    )
+    dts = _frame(
+        [
+            [0.2, 0.0, 0.0, 4.0, 2.0, 1.5, 0.3, ts],
+            [30.4, 0.0, 0.0, 3.6, 1.8, 1.35, 0.5, ts],
+        ],
+        scores=[0.9, 0.8],
+    )
+    res = av2_eval.evaluate(dts, gts, ["VEHICLE"])["VEHICLE"]
+    np.testing.assert_allclose(res["AP"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(res["ATE"], 0.3, atol=1e-7)
+    np.testing.assert_allclose(res["ASE"], (0.0 + (1 - 0.9**3)) / 2, atol=1e-7)
+    np.testing.assert_allclose(res["AOE"], 0.4, atol=1e-7)
+    want_cds = 1.0 * np.mean(
+        [1 - 0.3 / 2.0, 1 - (1 - 0.9**3) / 2, 1 - 0.4 / np.pi]
+    )
+    np.testing.assert_allclose(res["CDS"], want_cds, atol=1e-7)
+
+
+def test_av2_aoe_flip_and_wrap():
+    """AOE is the |yaw difference| wrapped to [0, pi]: a 180-degree flip
+    costs the MAXIMUM pi (AV2 semantics — unlike nuScenes' mod-pi AOE for
+    vehicles), and pi + 0.2 wraps to pi - 0.2, not pi + 0.2.
+    """
+    ts = 1_000_000_000
+    gts = _frame([[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts]], pts=[50])
+    for det_yaw, want_aoe in [
+        (np.pi, np.pi),          # flip: maximal error
+        (np.pi + 0.2, np.pi - 0.2),  # wraps past pi
+        (-0.3, 0.3),             # absolute value
+    ]:
+        dts = _frame(
+            [[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, det_yaw, ts]], scores=[0.9]
+        )
+        res = av2_eval.evaluate(dts, gts, ["VEHICLE"])["VEHICLE"]
+        np.testing.assert_allclose(res["AP"], 1.0, atol=1e-9)
+        np.testing.assert_allclose(res["AOE"], want_aoe, atol=1e-7)
+
+
+def test_av2_cross_sweep_isolation():
+    """A det with the GT's exact coordinates but a different timestamp
+    lives in another sweep: it must NOT match (assignment is per-sweep).
+    The GT stays unmatched (AP 0) and the det is an FP in its own sweep.
+    """
+    gts = _frame(
+        [[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 1_000_000_000]], pts=[50]
+    )
+    dts = _frame(
+        [[0.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, 2_000_000_000]], scores=[0.9]
+    )
+    res = av2_eval.evaluate(dts, gts, ["VEHICLE"])["VEHICLE"]
+    assert res["num_gts"] == 1.0
+    np.testing.assert_allclose(res["AP"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(res["CDS"], 0.0, atol=1e-9)
+
+
+def test_waymo_matching_is_hungarian_max_total_iou_not_greedy():
+    """The official evaluator's assignment maximizes TOTAL IoU (LSAP), not
+    greedy best-per-detection-in-score-order.
+
+    Axis-aligned 4x2 boxes shifted along x: IoU(d) = (4-d)*2 / (16-(4-d)*2).
+    GT A at x=10, GT B at x=10.7; det1 (score 0.9) at 10.1, det2 (0.8) at
+    9.35:
+      IoU(det1,A) = 7.8/8.2  = 0.95122   IoU(det1,B) = 6.8/9.2 = 0.73913
+      IoU(det2,A) = 6.7/9.3  = 0.72043   IoU(det2,B) = 5.3/10.7 = 0.49533
+    Greedy would take det1->A (0.951), leaving det2->B (0.495 < 0.7):
+    1 TP + 1 FP. Hungarian totals: identity 1.44655 < swap 1.45956, so
+    det1->B and det2->A — BOTH >= 0.7 -> 2 TPs, zero FPs.
+    Curve: c <= 0.8: P 1, R 1; 0.8 < c <= 0.9 (det1 alone -> A, TP):
+    P 1, R 0.5; above: P 1, R 0. Unpenalized AP = 1.0 (greedy would read
+    0.5); penalized: two 0.5 recall jumps clipped to 0.05 -> 0.1.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [10.7, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[100, 100],
+    )
+    dts = _frame(
+        [
+            [10.1, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [9.35, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.9, 0.8],
+    )
+    raw = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
+    np.testing.assert_allclose(raw["VEHICLE/L1/0-inf/AP_bev"], 1.0, atol=1e-9)
+    pen = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    np.testing.assert_allclose(pen["VEHICLE/L1/0-inf/AP_bev"], 0.1, atol=1e-9)
+    # All GTs are L1 (100 pts): L2 numbers coincide.
+    np.testing.assert_allclose(
+        raw["VEHICLE/L2/0-inf/AP_bev"], 1.0, atol=1e-9
+    )
+
+
+def test_waymo_aph_fp_and_penalty_interaction():
+    """APH with an FP in the curve, raw AND penalized (the APH x penalty
+    interaction VERDICT r4 #8 asks for).
+
+    Square 2x2 boxes (yaw never moves IoU). GT1 det A (score 0.9,
+    yaw pi/2 -> ha 0.5); GT2 det B (0.8, exact -> ha 1); FP at 40 m
+    (score 0.7). Cutoff prefixes (101 cutoffs, c = k/100):
+      c <= 0.7 : TP 2 (ha sum 1.5), FP 1 -> P 2/3, R 1 ; Ph 0.5,  Rh 0.75
+      0.7<c<=0.8: TP 2, no FP          -> P 1,  R 1  ; Ph 0.75, Rh 0.75
+      0.8<c<=0.9: TP 1 (ha 0.5)        -> P 1,  R 0.5; Ph 0.5,  Rh 0.25
+      c > 0.9  : empty prefix          -> P 1,  R 0  ; Ph 1,    Rh 0
+    AP raw: envelope at R=1 is max(2/3, 1) = 1 -> AP = 1.0.
+    APH raw: envelope: p(0)=1, p(0.25)=max(0.5, 0.75)=0.75, p(0.75)=0.75
+    -> 0.25*(1+0.75)/2 + 0.5*0.75 = 0.21875 + 0.375 = 0.59375.
+    Penalized (cap 0.05 per adjacent-recall interval):
+      AP: jumps 0->0.5->1 at envelope 1: 2 * 0.05 = 0.1.
+      APH: 0->0.25 at (1+0.75)/2: 0.04375; 0.25->0.75 at 0.75: 0.0375
+      -> 0.08125.
+    """
+    ts = 1_000_000_000
+    gts = _frame(
+        [
+            [10.0, 0.0, 0.0, 2.0, 2.0, 1.5, 0.0, ts],
+            [20.0, 0.0, 0.0, 2.0, 2.0, 1.5, 0.0, ts],
+        ],
+        pts=[100, 100],
+    )
+    dts = _frame(
+        [
+            [10.0, 0.0, 0.0, 2.0, 2.0, 1.5, np.pi / 2, ts],
+            [20.0, 0.0, 0.0, 2.0, 2.0, 1.5, 0.0, ts],
+            [40.0, 0.0, 0.0, 2.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.9, 0.8, 0.7],
+    )
+    raw = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
+    np.testing.assert_allclose(raw["VEHICLE/L1/0-inf/AP_bev"], 1.0, atol=1e-7)
+    np.testing.assert_allclose(
+        raw["VEHICLE/L1/0-inf/APH_bev"], 0.59375, atol=1e-7
+    )
+    pen = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    np.testing.assert_allclose(pen["VEHICLE/L1/0-inf/AP_bev"], 0.1, atol=1e-7)
+    np.testing.assert_allclose(
+        pen["VEHICLE/L1/0-inf/APH_bev"], 0.08125, atol=1e-7
+    )
+
+
+def test_waymo_unmatched_duplicate_fp_buckets_by_own_band():
+    """An UNMATCHED duplicate detection is an FP of its OWN range band
+    (matched pairs bucket by the GT's band — the complementary case).
+
+    GT1 at 29.8 m (band [0,30)) with dets at 29.8 (score 0.9, IoU 1) and
+    30.2 (score 0.85, IoU 7.2/8.8 = 0.818, band [30,50)); GT2 at 45 m
+    with an exact det (score 0.8). LSAP at every prefix gives det1->GT1
+    (+det3->GT2 when present); the 30.2 duplicate stays unmatched -> FP
+    in [30,50):
+      c <= 0.80 : band 30-50: TP 1 (GT2), FP 1 -> P 0.5, R 1
+      0.80<c<=0.85: TP 0, FP 1 -> P 0, R 0
+      c > 0.85 : TP 0, FP 0 -> P 1 (convention), R 0
+    Unpenalized band 30-50 AP: envelope p(0) = 1 (the empty-prefix points
+    sort after the P=0 points at recall 0), p(1) = 0.5 -> trapezoid
+    (1+0.5)/2 = 0.75; penalized: 0.05 * 0.75 = 0.0375.
+    Band 0-30 is clean: AP 1 unpenalized.
+    With all GTs demoted to L2 (pts <= 5), L1 has num_gt 0 -> AP 0 by
+    definition while L2 is unchanged.
+    """
+    ts = 1_000_000_000
+    rows_gt = [
+        [29.8, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        [45.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+    ]
+    dts = _frame(
+        [
+            [29.8, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [30.2, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+            [45.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts],
+        ],
+        scores=[0.9, 0.85, 0.8],
+    )
+    gts = _frame(rows_gt, pts=[100, 100])
+    raw = waymo_eval.evaluate_waymo(
+        dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
+    np.testing.assert_allclose(raw["VEHICLE/L2/0-30/AP_bev"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(
+        raw["VEHICLE/L2/30-50/AP_bev"], 0.75, atol=1e-9
+    )
+    pen = waymo_eval.evaluate_waymo(dts, gts, ["VEHICLE"], mode="bev")
+    np.testing.assert_allclose(
+        pen["VEHICLE/L2/30-50/AP_bev"], 0.0375, atol=1e-9
+    )
+    # L2-only GTs: L1 denominators empty -> AP 0 by definition; L2 as above.
+    gts_l2 = _frame(rows_gt, pts=[3, 3])
+    res = waymo_eval.evaluate_waymo(
+        dts, gts_l2, ["VEHICLE"], mode="bev", max_recall_delta=None
+    )
+    np.testing.assert_allclose(res["VEHICLE/L1/0-30/AP_bev"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE/L1/30-50/AP_bev"], 0.0, atol=1e-9)
+    np.testing.assert_allclose(res["VEHICLE/L2/0-30/AP_bev"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(
+        res["VEHICLE/L2/30-50/AP_bev"], 0.75, atol=1e-9
+    )
