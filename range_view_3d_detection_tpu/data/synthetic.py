@@ -101,8 +101,17 @@ def generate_dataset(
     num_boxes: int = 6,
     num_bg_points: int = 4000,
     seed: int = 0,
+    dataset_name: str = "av2",
 ) -> Path:
-    """Generate a synthetic AV2-layout dataset. Returns the sensor root."""
+    """Generate a synthetic converter-layout dataset. Returns the sensor
+    root.
+
+    ``dataset_name="waymo"`` writes the Waymo converter's 6-channel sweep
+    schema instead (``converters/waymo/export.py``: + ``elongation``, no
+    ``is_within_roi`` — WOD has no ROI concept; reference
+    ``conf/experiment/rv-waymo.yaml`` feature_column_names), for closing
+    the WOD-protocol train->decode->evaluate_waymo loop without real data.
+    """
     splits = splits or {"train": 1, "val": 1}
     root = Path(root_dir)
     rng = np.random.default_rng(seed)
@@ -164,8 +173,20 @@ def generate_dataset(
                     "intensity": flat[:, 3],
                     "range": flat[:, 4],
                     "timedelta_ns": np.zeros(len(flat), np.float32),
-                    "is_within_roi": (flat[:, 4] > 0).astype(np.float32),
                 }
+                if dataset_name == "waymo":
+                    # Waymo sweeps carry pulse elongation (raw, like the
+                    # converter writes it) and raw intensity (the loader
+                    # tanh-normalizes); no ROI flags.
+                    valid_px = (flat[:, 4] > 0).astype(np.float32)
+                    sweep_cols["elongation"] = (
+                        rng.uniform(0, 0.3, len(flat)).astype(np.float32)
+                        * valid_px
+                    )
+                else:
+                    sweep_cols["is_within_roi"] = (flat[:, 4] > 0).astype(
+                        np.float32
+                    )
                 write_feather(
                     root
                     / split

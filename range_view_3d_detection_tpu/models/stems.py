@@ -33,6 +33,14 @@ _logger = logging.getLogger(__name__)
 # under width sharding / non-TPU backends — this record (plus a one-time
 # log per path change) lets benchmark and accuracy harnesses assert which
 # stem they actually measured instead of guessing (ADVICE r3).
+#
+# TRACE-TIME ONLY (ADVICE r4): the module body runs when jit TRACES, not
+# when a cached executable re-runs. The value is trustworthy immediately
+# after a fresh compile of the model under test and stale otherwise —
+# interleaving several models/configs, or flipping RV3D_STEM_INT8 after a
+# path is already compiled, reads the LAST trace, which may not be the one
+# just executed. Harnesses must read it right after their own first
+# (compiling) call, like tests/test_stem_pallas.py does.
 LAST_STEM_PATH: Optional[str] = None
 
 

@@ -5,6 +5,7 @@ miniature scale, plus the multi-chip dry run over the virtual 8-device CPU
 mesh (conftest sets xla_force_host_platform_device_count=8).
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -102,3 +103,22 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(
+    os.environ.get("RV3D_DRYRUN_FULL", "") != "1",
+    reason="full-surface phase 2 is opt-in for capable hosts: "
+    "RV3D_DRYRUN_FULL=1 (ADVICE r4 — real stage_blocks + 8x448 extent "
+    "are minutes of emulated bf16 on a 1-vCPU image)",
+)
+def test_dryrun_phase2_full_surface():
+    """Phase 2 with the REAL repeated stage_blocks / head towers and a
+    production-ratio extent, so the stride chain at realistic H/W keeps
+    executable multichip coverage somewhere (the driver-budget default
+    runs single blocks at 2x64)."""
+    sys.path.insert(0, str(REPO))
+    import __graft_entry__ as ge
+
+    out = ge._phase2_flagship_shapes(8)
+    assert np.isfinite(out["loss"])
+    assert out["shape"] == [8, 8, 448]

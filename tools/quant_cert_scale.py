@@ -30,14 +30,28 @@ import numpy as np
 CATEGORIES = ("PEDESTRIAN", "REGULAR_VEHICLE", "BICYCLIST")
 
 
-def run_seed(seed: int, work: Path, epochs: int, verbose: bool) -> dict:
+def run_seed(
+    seed: int,
+    work: Path,
+    epochs: int,
+    verbose: bool,
+    qat_steps: int = 0,
+    qat_lr: float = 1e-4,
+) -> dict:
     from range_view_3d_detection_tpu.data.synthetic import generate_dataset
 
     root = work / f"sensor_s{seed}"
     run_dir = work / f"run_s{seed}"
     out_dir = work / f"quant_s{seed}"
-    if (out_dir / "summary.json").exists():
-        # Resumable: a completed seed is never re-trained.
+    if (out_dir / "summary.json").exists() and (
+        not qat_steps
+        or json.loads((out_dir / "summary.json").read_text()).get(
+            "qat_steps"
+        )
+    ):
+        # Resumable: a completed seed is never re-trained (a PTQ-only
+        # summary does NOT satisfy a --qat-steps run, and vice versa is
+        # fine — QAT summaries carry the PTQ rows too).
         summary = json.loads((out_dir / "summary.json").read_text())
         from range_view_3d_detection_tpu.evaluation.av2_eval import (
             load_ground_truth,
@@ -90,6 +104,11 @@ def run_seed(seed: int, work: Path, epochs: int, verbose: bool) -> dict:
         "--run-dir", str(run_dir),
         "--out", str(out_dir),
         "--calib-batches", "4",
+        *(
+            ["--qat-steps", str(qat_steps), "--qat-lr", str(qat_lr)]
+            if qat_steps
+            else []
+        ),
     ])
     summary = json.loads((out_dir / "summary.json").read_text())
 
@@ -110,6 +129,14 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--work", default="/tmp/quant_cert_scale")
+    ap.add_argument(
+        "--qat-steps",
+        type=int,
+        default=0,
+        help="also QAT-fine-tune each seed for N steps and certify the "
+        "int8_qat path at the same >=500-GT scale (VERDICT r4 next #7)",
+    )
+    ap.add_argument("--qat-lr", type=float, default=1e-4)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -118,7 +145,10 @@ def main() -> None:
     per_seed = []
     for seed in range(args.seeds):
         print(f"=== seed {seed} ===", flush=True)
-        s = run_seed(seed, work, args.epochs, args.verbose)
+        s = run_seed(
+            seed, work, args.epochs, args.verbose,
+            qat_steps=args.qat_steps, qat_lr=args.qat_lr,
+        )
         print(json.dumps(s), flush=True)
         per_seed.append(s)
 
@@ -133,6 +163,16 @@ def main() -> None:
         "ptq_cds_delta_spread": float(np.max(cds_d) - np.min(cds_d)),
         "per_seed": per_seed,
     }
+    if args.qat_steps:
+        qap = [s["mean_ap_delta_int8_qat"] for s in per_seed]
+        qcds = [s["mean_cds_delta_int8_qat"] for s in per_seed]
+        agg.update(
+            qat_steps=args.qat_steps,
+            qat_ap_delta_mean=float(np.mean(qap)),
+            qat_ap_delta_spread=float(np.max(qap) - np.min(qap)),
+            qat_cds_delta_mean=float(np.mean(qcds)),
+            qat_cds_delta_spread=float(np.max(qcds) - np.min(qcds)),
+        )
     print(json.dumps(agg), flush=True)
     (work / "cert.json").write_text(json.dumps(agg, indent=1))
 
