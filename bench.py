@@ -45,9 +45,11 @@ def _run(batch: int) -> float:
     from range_view_3d_detection_tpu.models.detector import Detector
 
     cfg = _flagship_config()
-    # Default DecoderConfig == conf/model/range_view.yaml (nms_cap 2048):
+    # Default DecoderConfig == conf/model/range_view.yaml (nms_cap 1024):
     # the fps headline and the accuracy certifications are measured at ONE
-    # operating point (VERDICT r4 weak #2).
+    # operating point (VERDICT r4 weak #2). 1024 is the shipped flagship
+    # budget — AP-neutral-or-better on the dense-scene study AND 23%
+    # faster than 2048 on hardware (BENCH_NOTES round 5).
     dec_cfg = DecoderConfig()
     model = Detector(cfg)
     feats, cart, mask = _sample_inputs(batch, 64, 1808, 5)

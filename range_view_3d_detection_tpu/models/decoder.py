@@ -34,7 +34,14 @@ class DecoderConfig:
     nms_threshold: float = 0.3
     min_confidence: float = 0.1
     nms_mode: str = "WEIGHTED"
-    nms_cap: int = 2048  # static on-device proposal budget (TPU re-design)
+    # Static on-device proposal budget (TPU re-design of the reference's
+    # num_pre_nms=50000 dynamic top-k). 1024 is the shipped flagship
+    # operating point: AP-neutral-or-better vs larger budgets on the
+    # dense-scene study (tests/test_nms_cap.py — a score-sorted top-k
+    # only clips the junk tail) and 23% faster than 2048 on hardware
+    # (BENCH_NOTES round 5). The fps headline (bench.py) and the
+    # accuracy certifications share this default.
+    nms_cap: int = 1024
 
 
 class Proposals(NamedTuple):

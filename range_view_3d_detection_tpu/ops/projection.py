@@ -238,41 +238,46 @@ def rasterize_points_jax(
         row, col, rng, height=height, width=width, min_distance=min_distance
     )
 
-    def img(vals: Array) -> Array:
-        flat = jnp.where(has, vals[winner], 0.0)
-        return flat.reshape(height, width)
-
     per_point = {
         "range": rng.astype(jnp.float32),
         "x": xyz[:, 0].astype(jnp.float32),
         "y": xyz[:, 1].astype(jnp.float32),
         "z": xyz[:, 2].astype(jnp.float32),
+        "view": laser_number.astype(jnp.float32),
     }
     for k, v in point_features.items():
         per_point[k] = v.astype(jnp.float32)
 
-    rng_img = img(per_point["range"])
-    mask = rng_img > 0.0
+    # ONE gather for every channel: stack the per-point columns (N, C')
+    # and pull the winning row per pixel once. Per-channel gathers cost
+    # C' separate random-access passes over the same winner map; the
+    # combined gather moves contiguous (C' * 4)-byte rows instead.
+    chan_names = ["range", "x", "y", "z"] + [
+        n for n in feature_names if n not in ("range", "x", "y", "z")
+    ]
+    stacked = jnp.stack([per_point[n] for n in chan_names], axis=-1)
+    gathered = jnp.where(has[:, None], stacked[winner], 0.0).reshape(
+        height, width, len(chan_names)
+    )
+    chan = {n: gathered[..., i] for i, n in enumerate(chan_names)}
+
+    mask = chan["range"] > 0.0
 
     planes = []
     for name in feature_names:
         if name == "view":
             # Laser -> sensor-view channel (loader.py:605-621): 2 for the
             # upper 32-beam LiDAR, 1 for the lower, 0 for empty pixels.
-            ln = img(laser_number.astype(jnp.float32))
-            plane = jnp.where(mask, jnp.where(ln <= 32, 2.0, 1.0), 0.0)
+            plane = jnp.where(mask, jnp.where(chan["view"] <= 32, 2.0, 1.0), 0.0)
         else:
-            plane = img(per_point[name])
+            plane = chan[name]
             if name == "intensity" and dataset_name == "waymo":
                 plane = jnp.tanh(plane)
             elif name == "timedelta_ns":
                 plane = plane * 1e-9
         planes.append(plane)
     feats = jnp.stack(planes, axis=-1)
-    cart = jnp.stack(
-        [img(per_point["x"]), img(per_point["y"]), img(per_point["z"])],
-        axis=-1,
-    )
+    cart = jnp.stack([chan["x"], chan["y"], chan["z"]], axis=-1)
 
     feats = feats * mask[..., None]
     mode = "wrap" if padding_mode == "circular" else "constant"

@@ -137,4 +137,9 @@ def test_nms_cap_2048_is_ap_neutral_on_dense_scene():
     # 1 pt of the uncapped budget in either direction.
     assert ap_2048 >= ap_full - 1e-3, (ap_2048, ap_full)
     assert abs(ap_2048 - ap_full) < 1e-2, (ap_2048, ap_full)
+    # cap 1024 is the SHIPPED flagship operating point (round-5 hardware
+    # A/B: cap 2048 costs 23% serving throughput — 23.1 vs 29.9 fps —
+    # and reads 1.2 AP pts LOWER on this scene; 1024 wins on both axes).
+    assert ap_1024 >= ap_full - 1e-3, (ap_1024, ap_full)
+    assert abs(ap_1024 - ap_full) < 2e-2, (ap_1024, ap_full)
     assert ap_full > 0.5  # the scene is solvable

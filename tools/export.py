@@ -816,6 +816,14 @@ def main(argv):
         "configs; models trained zero-padded MUST serve zero-padded)",
     )
     ap.add_argument(
+        "--x-stride",
+        type=int,
+        default=None,
+        help="column decimation for --points (default: the artifact's "
+        "recorded stride, else 1). The fast operating point serves "
+        "sensor width 1800 at stride 4 -> 464 network columns",
+    )
+    ap.add_argument(
         "--nms-cap",
         type=int,
         default=1024,
@@ -881,7 +889,11 @@ def main(argv):
             )
             sensor_w = int(ds_meta.get("sensor_width", args.sensor_width))
             height = int(ds_meta.get("height", args.height))
-            x_stride = int(ds_meta.get("x_stride", 1))
+            x_stride = (
+                args.x_stride
+                if args.x_stride is not None
+                else int(ds_meta.get("x_stride", 1))
+            )
             padding_mode = args.padding_mode or ds_meta.get(
                 "padding_mode", "circular"
             )

@@ -186,7 +186,9 @@ def main():
         else:
             apply_fn = model.apply
         if args.decode:
-            dec = DecoderConfig(nms_cap=1024)
+            # Default DecoderConfig == the shipped/benched operating point
+            # (nms_cap 1024, conf/model/range_view.yaml).
+            dec = DecoderConfig()
             fwd = jax.jit(
                 lambda v, a, b, d: decode(
                     apply_fn(v, a, b, d, train=False),
@@ -222,7 +224,9 @@ def main():
                     pad=pad,
                 )
 
-            dec = DecoderConfig(nms_cap=1024)
+            # Default DecoderConfig == the shipped/benched operating point
+            # (nms_cap 1024, conf/model/range_view.yaml).
+            dec = DecoderConfig()
             fwd = jax.jit(
                 lambda v, x, l, i: decode(
                     apply_fn(

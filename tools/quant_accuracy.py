@@ -32,6 +32,16 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 
+# Honor JAX_PLATFORMS before any jax-touching import: this image's
+# sitecustomize pins the axon tunnel from inside the process, so the env
+# var alone does not select CPU (scripts/train.py does the same).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 
@@ -125,6 +135,17 @@ def main(argv):
         "int8_qat row to the comparison",
     )
     ap.add_argument("--qat-lr", type=float, default=1e-4)
+    ap.add_argument(
+        "--x-stride-eval",
+        type=int,
+        default=0,
+        help="also serve the SAME fp weights through an x_stride=N val "
+        "loader and score it (fp_xN row): the accuracy price tag of the "
+        "fast operating point (the reference's own latency knob, "
+        "prototype/loader.py:792-815 subsample_range_view; its paper "
+        "ablates x_stride). The model is fully convolutional, so the "
+        "full-width weights serve decimated columns unchanged",
+    )
     args = ap.parse_args(argv)
 
     from export import (
@@ -188,7 +209,20 @@ def main(argv):
         variables, det_cfg, dec_cfg, art, quantize_scales=qtree
     )
 
-    runs = [("fp", art, False), ("int8", art, "auto")]
+    runs = [("fp", art, False, ds), ("int8", art, "auto", ds)]
+    if args.x_stride_eval > 1:
+        import dataclasses
+
+        from range_view_3d_detection_tpu.training.builders import (
+            build_dataset_config as _bdc,
+        )
+
+        ds_fast = RangeViewDataset(
+            dataclasses.replace(
+                _bdc(cfg, "val"), x_stride=args.x_stride_eval
+            )
+        )
+        runs.append((f"fp_x{args.x_stride_eval}", art, False, ds_fast))
     if args.qat_steps > 0:
         qat_vars = _qat_finetune(
             variables,
@@ -202,15 +236,17 @@ def main(argv):
         export_artifact(
             qat_vars, det_cfg, dec_cfg, art_qat, quantize_scales=qtree
         )
-        runs.append(("int8_qat", art_qat, "auto"))
+        runs.append(("int8_qat", art_qat, "auto", ds))
 
     eval_cfg = detection_cfg_factory(cfg["dataset"].get("dataset_name", "av2"))
     gt_dir = Path(cfg["dataset"]["root_dir"]) / val_split
     results = {}
-    for name, art_dir, quantized in runs:
+    for name, art_dir, quantized, run_ds in runs:
         predict, _, _ = load_artifact(art_dir, quantized=quantized)
         dst = out / f"predictions_{name}"
-        loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False)
+        loader = DataLoader(
+            run_ds, batch_size, shuffle=False, drop_last=False
+        )
         _predict_split(predict, loader, categories, dst)
         results[name] = evaluate_predictions(
             dst,
@@ -221,7 +257,7 @@ def main(argv):
             dataset_name=eval_cfg.dataset_name,
         )
 
-    names = [name for name, _, _ in runs]
+    names = [name for name, *_ in runs]
     rows = sorted(set().union(*(results[n] for n in names)))
     hdr = " ".join(
         f"{'AP ' + n:>10s} {'CDS ' + n:>10s}" for n in names

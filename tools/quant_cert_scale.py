@@ -37,16 +37,24 @@ def run_seed(
     verbose: bool,
     qat_steps: int = 0,
     qat_lr: float = 1e-4,
+    x_stride_eval: int = 0,
 ) -> dict:
     from range_view_3d_detection_tpu.data.synthetic import generate_dataset
 
     root = work / f"sensor_s{seed}"
     run_dir = work / f"run_s{seed}"
     out_dir = work / f"quant_s{seed}"
-    if (out_dir / "summary.json").exists() and (
-        not qat_steps
-        or json.loads((out_dir / "summary.json").read_text()).get(
-            "qat_steps"
+    done = (
+        json.loads((out_dir / "summary.json").read_text())
+        if (out_dir / "summary.json").exists()
+        else None
+    )
+    if (
+        done is not None
+        and (not qat_steps or done.get("qat_steps"))
+        and (
+            not x_stride_eval
+            or done.get(f"mean_cds_delta_fp_x{x_stride_eval}") is not None
         )
     ):
         # Resumable: a completed seed is never re-trained (a PTQ-only
@@ -109,6 +117,11 @@ def run_seed(
             if qat_steps
             else []
         ),
+        *(
+            ["--x-stride-eval", str(x_stride_eval)]
+            if x_stride_eval
+            else []
+        ),
     ])
     summary = json.loads((out_dir / "summary.json").read_text())
 
@@ -137,6 +150,14 @@ def main() -> None:
         "int8_qat path at the same >=500-GT scale (VERDICT r4 next #7)",
     )
     ap.add_argument("--qat-lr", type=float, default=1e-4)
+    ap.add_argument(
+        "--x-stride-eval",
+        type=int,
+        default=0,
+        help="also score the fp weights through an x_stride=N val loader "
+        "per seed (the fast operating point's accuracy price tag at the "
+        "same >=500-GT scale; VERDICT r4 next #2)",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -148,6 +169,7 @@ def main() -> None:
         s = run_seed(
             seed, work, args.epochs, args.verbose,
             qat_steps=args.qat_steps, qat_lr=args.qat_lr,
+            x_stride_eval=args.x_stride_eval,
         )
         print(json.dumps(s), flush=True)
         per_seed.append(s)
@@ -172,6 +194,17 @@ def main() -> None:
             qat_ap_delta_spread=float(np.max(qap) - np.min(qap)),
             qat_cds_delta_mean=float(np.mean(qcds)),
             qat_cds_delta_spread=float(np.max(qcds) - np.min(qcds)),
+        )
+    if args.x_stride_eval:
+        key = f"fp_x{args.x_stride_eval}"
+        fap = [s[f"mean_ap_delta_{key}"] for s in per_seed]
+        fcds = [s[f"mean_cds_delta_{key}"] for s in per_seed]
+        agg.update(
+            x_stride_eval=args.x_stride_eval,
+            fast_ap_delta_mean=float(np.mean(fap)),
+            fast_ap_delta_spread=float(np.max(fap) - np.min(fap)),
+            fast_cds_delta_mean=float(np.mean(fcds)),
+            fast_cds_delta_spread=float(np.max(fcds) - np.min(fcds)),
         )
     print(json.dumps(agg), flush=True)
     (work / "cert.json").write_text(json.dumps(agg, indent=1))
