@@ -45,6 +45,61 @@ def _pair(v) -> Tuple[int, int]:
     return (int(v), int(v))
 
 
+def _phase_merged_kernel(kernel: Array, sw: int) -> Array:
+    """Merge a ``(kh, 2*sw, ci, co)`` transposed-conv kernel into the
+    ``(kh, 3, ci, sw*co)`` kernel of its exact subpixel decomposition.
+
+    For width stride ``sw``, kernel width ``2*sw``, padding ``sw//2`` (the
+    only shapes the aggregation nodes use), output column ``x = sw*q + r``
+    reads exactly two taps ``kw ≡ (c - r) mod sw`` (``c = 2*sw-1-sw//2``)
+    at input columns ``q-1``/``q``/``q+1`` — so each phase ``r`` is a
+    stride-1 conv with a 3-wide window and the ``sw`` phases interleave by
+    reshape. Every original tap lands in the merged kernel exactly once
+    (r-major output blocks), so gradients flow back unchanged.
+    """
+    kh, kwt, ci, co = kernel.shape
+    c = kwt - 1 - sw // 2
+    merged = jnp.zeros((kh, 3, ci, sw * co), kernel.dtype)
+    for kw in range(kwt):
+        r = (c - kw) % sw
+        j = (r + kw - c) // sw + 1  # input-column offset {-1,0,+1} -> {0,1,2}
+        merged = merged.at[:, j, :, r * co : (r + 1) * co].set(
+            kernel[:, kw]
+        )
+    return merged
+
+
+def _phase_deconv(
+    x: Array,
+    kernel: Array,
+    sw: int,
+    ph: int,
+    pad_w: Tuple[int, int],
+    preferred_element_type=None,
+) -> Array:
+    """Stride-1 conv of the phase-merged kernel + interleaving reshape ==
+    the ``lhs_dilation`` transposed conv, without multiplying the inserted
+    zeros (a ~2.7x MAC cut at the stride-4 nodes) or materializing the
+    dilated tensor. ``pad_w=(1,1)`` zero-pads; ``(0,0)`` consumes a
+    pre-exchanged 1-column halo (width-sharded path)."""
+    kh, _, ci, sco = kernel.shape
+    co = sco // sw
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=((ph, ph), pad_w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        **(
+            {"preferred_element_type": preferred_element_type}
+            if preferred_element_type is not None
+            else {}
+        ),
+    )
+    b, h, w, _ = y.shape
+    return y.reshape(b, h, w * sw, co)
+
+
 class TorchConvTranspose(nn.Module):
     """Transposed conv with PyTorch ``ConvTranspose2d(k, s, p)`` shape
     semantics: ``out = (in - 1) * stride + kernel - 2 * padding``.
@@ -52,6 +107,13 @@ class TorchConvTranspose(nn.Module):
     Implemented as ``conv_general_dilated`` with ``lhs_dilation`` so XLA
     lowers it onto the MXU like a regular convolution. Used by the
     aggregation (upsample) nodes, parity with ``blocks/__init__.py:150-158``.
+
+    When the shape is the aggregation pattern (``sh==1``, ``kw==2*sw``,
+    ``pw==sw//2``, ``kh==2*ph+1``), the default path is the exact subpixel
+    (phase) decomposition (``_phase_merged_kernel``): XLA lowers
+    ``lhs_dilation`` by multiplying the inserted zeros — 3/4 of the MACs at
+    the stride-4 nodes — and reads a dilated-width tensor; the phase form
+    does neither. ``RV3D_DECONV_PHASE=0`` restores the dilated lowering.
     """
 
     features: int
@@ -96,10 +158,12 @@ class TorchConvTranspose(nn.Module):
             else None
         )
 
-        def deconv(xin: Array, pad_hw) -> Array:
+        def conv_operands(xin: Array):
+            """Per-quant-branch (lhs, rhs, preferred_acc, dequant_scale):
+            qat -> STE fake-quant twin (models/quantized.py::fake_quant);
+            int8 -> symmetric int8 with int32 accumulation (lhs_dilation /
+            phase zeros are exact in symmetric int8); else fp."""
             if in_scale is not None and qmode == "qat":
-                # STE fake-quant twin of the int8 branch below (QAT
-                # fine-tuning; models/quantized.py::fake_quant).
                 w = kernel.astype(jnp.float32)
                 w_fq = quantized.fake_quant(
                     w,
@@ -110,14 +174,7 @@ class TorchConvTranspose(nn.Module):
                 x_fq = quantized.fake_quant(
                     xin.astype(jnp.float32), in_scale
                 )
-                return jax.lax.conv_general_dilated(
-                    x_fq,
-                    w_fq,
-                    window_strides=(1, 1),
-                    padding=pad_hw,
-                    lhs_dilation=(sh, sw),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                ).astype(self.dtype)
+                return x_fq, w_fq, None, None
             if in_scale is not None:
                 w = kernel.astype(jnp.float32)
                 w_scale = jnp.maximum(
@@ -129,26 +186,41 @@ class TorchConvTranspose(nn.Module):
                 x_i8 = jnp.clip(
                     jnp.round(xin.astype(jnp.float32) / in_scale), -127, 127
                 ).astype(jnp.int8)
-                acc = jax.lax.conv_general_dilated(
-                    x_i8,
-                    w_i8,
-                    window_strides=(1, 1),
-                    padding=pad_hw,
-                    lhs_dilation=(sh, sw),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
-                )
-                return (
-                    acc.astype(jnp.float32) * (in_scale * w_scale)
-                ).astype(self.dtype)
-            return jax.lax.conv_general_dilated(
-                xin,
-                kernel.astype(self.dtype),
+                return x_i8, w_i8, jnp.int32, in_scale * w_scale
+            return xin, kernel.astype(self.dtype), None, None
+
+        def deconv(xin: Array, pad_hw) -> Array:
+            lhs, rhs, pref, deq = conv_operands(xin)
+            y = jax.lax.conv_general_dilated(
+                lhs,
+                rhs,
                 window_strides=(1, 1),
                 padding=pad_hw,
                 lhs_dilation=(sh, sw),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                **({"preferred_element_type": pref} if pref else {}),
             )
+            if deq is not None:
+                return (y.astype(jnp.float32) * deq).astype(self.dtype)
+            return y.astype(self.dtype)
+
+        def deconv_phase(xin: Array, pad_w) -> Array:
+            lhs, rhs, pref, deq = conv_operands(xin)
+            y = _phase_deconv(
+                lhs, _phase_merged_kernel(rhs, sw), sw, ph, pad_w, pref
+            )
+            if deq is not None:
+                return (y.astype(jnp.float32) * deq).astype(self.dtype)
+            return y.astype(self.dtype)
+
+        phase_ok = (
+            os.environ.get("RV3D_DECONV_PHASE", "1") != "0"
+            and sh == 1
+            and sw >= 2
+            and kw == 2 * sw
+            and 2 * pw == sw
+            and kh == 2 * ph + 1
+        )
 
         # Input columns the kernel footprint reads across shard boundaries
         # (in input units; exact for any sw >= 1 — sw == 1 degenerates to
@@ -159,21 +231,27 @@ class TorchConvTranspose(nn.Module):
             # Width-sharded transposed conv: fetch the columns this
             # kernel's footprint reads across the shard boundary, run the
             # dilated conv on the widened block, slice the exact local
-            # output region (parallel/spatial.py module docstring).
+            # output region (parallel/spatial.py module docstring). The
+            # phase decomposition's 3-wide window consumes exactly that
+            # (1, 1) halo with VALID width, so its output is already the
+            # local region — no slice.
             Wl = x.shape[2]
             x = spatial.exchange_halo_lr(
                 x, halo_l, halo_r, ctx.axis, circular=ctx.circular
             )
-            y = deconv(
-                x,
-                (
-                    (kh - 1 - ph, kh - 1 - ph),
-                    (kw - 1 - pw, kw - 1 - pw),
-                ),
-            )
-            y = jax.lax.slice_in_dim(
-                y, halo_l * sw, halo_l * sw + Wl * sw, axis=2
-            )
+            if phase_ok and halo_l == 1 and halo_r == 1:
+                y = deconv_phase(x, (0, 0))
+            else:
+                y = deconv(
+                    x,
+                    (
+                        (kh - 1 - ph, kh - 1 - ph),
+                        (kw - 1 - pw, kw - 1 - pw),
+                    ),
+                )
+                y = jax.lax.slice_in_dim(
+                    y, halo_l * sw, halo_l * sw + Wl * sw, axis=2
+                )
             if self.use_bias:
                 bias = self.param(
                     "bias",
@@ -183,9 +261,12 @@ class TorchConvTranspose(nn.Module):
                 )
                 y = y + bias.astype(self.dtype)
             return y
-        y = deconv(
-            x, ((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw))
-        )
+        if phase_ok:
+            y = deconv_phase(x, (1, 1))
+        else:
+            y = deconv(
+                x, ((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw))
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.param_dtype
