@@ -109,11 +109,17 @@ class TorchConvTranspose(nn.Module):
     aggregation (upsample) nodes, parity with ``blocks/__init__.py:150-158``.
 
     When the shape is the aggregation pattern (``sh==1``, ``kw==2*sw``,
-    ``pw==sw//2``, ``kh==2*ph+1``), the default path is the exact subpixel
-    (phase) decomposition (``_phase_merged_kernel``): XLA lowers
-    ``lhs_dilation`` by multiplying the inserted zeros — 3/4 of the MACs at
-    the stride-4 nodes — and reads a dilated-width tensor; the phase form
-    does neither. ``RV3D_DECONV_PHASE=0`` restores the dilated lowering.
+    ``pw==sw//2``, ``kh==2*ph+1``), ``RV3D_DECONV_PHASE=1`` opts into the
+    exact subpixel (phase) decomposition (``_phase_merged_kernel``). It is
+    OFF by default: the on-paper win (skip the 3/4 zero MACs the s-dilated
+    input implies at the stride-4 nodes) did NOT materialize on hardware —
+    same-session v5e A/B read 26.9-27.3 fps (phase) vs 29.8-30.4 fps
+    (dilated) on the int8 serving point and a null on the bandwidth-bound
+    train step (237.2 vs 236.5 ms), i.e. XLA's own TPU lowering of
+    ``lhs_dilation`` already avoids the zero work, and the decomposition's
+    interleave reshape adds real data movement (BENCH_NOTES round-5
+    "tail attack, attempt 2"). Kept as an exactness-tested alternative
+    lowering (``tests/test_deconv_phase.py``) for future shape regimes.
     """
 
     features: int
@@ -214,7 +220,7 @@ class TorchConvTranspose(nn.Module):
             return y.astype(self.dtype)
 
         phase_ok = (
-            os.environ.get("RV3D_DECONV_PHASE", "1") != "0"
+            os.environ.get("RV3D_DECONV_PHASE", "0") == "1"
             and sh == 1
             and sw >= 2
             and kw == 2 * sw

@@ -2,9 +2,11 @@
 
 The aggregation nodes' transposed convs (kernel ``2*s``, stride ``s``,
 padding ``s//2`` — ``models/backbone.py:77-92``, parity with the
-reference's ``blocks/__init__.py:150-158``) lower by default to the exact
-phase decomposition (``models/blocks.py::_phase_merged_kernel``) instead
-of an ``lhs_dilation`` conv. These tests pin the decomposition to the
+reference's ``blocks/__init__.py:150-158``) can lower to the exact phase
+decomposition (``models/blocks.py::_phase_merged_kernel``,
+``RV3D_DECONV_PHASE=1``; off by default after the hardware A/B read it
+~10% slower than XLA's own ``lhs_dilation`` lowering on the int8 serving
+point — BENCH_NOTES round 5). These tests pin the decomposition to the
 dilated lowering bit-for-bit in value intent: fp forward, int8 forward,
 and gradients.
 """
