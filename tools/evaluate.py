@@ -30,6 +30,16 @@ def main():
         help="process-pool width for the WOD per-sweep Hungarian solves "
         "(default: RV3D_EVAL_WORKERS env var; 0 forces serial)",
     )
+    ap.add_argument(
+        "--no-recall-gap-penalty",
+        action="store_true",
+        help="WOD only: evaluate with max_recall_delta=None (the PARITY.md "
+        "escape hatch). The official penalty zeroes precision beyond 0.05 "
+        "of any adjacent-score-cutoff recall gap, so a detector whose "
+        "scores saturate (e.g. a debug-overfit oracle) reads far below "
+        "its true recall; this flag separates pipeline correctness from "
+        "that protocol property",
+    )
     args = ap.parse_args()
 
     from range_view_3d_detection_tpu.evaluation.av2_eval import (
@@ -66,7 +76,15 @@ def main():
         )
 
         metrics = evaluate_waymo(
-            dts, gts, categories, workers=args.workers
+            dts,
+            gts,
+            categories,
+            workers=args.workers,
+            **(
+                {"max_recall_delta": None}
+                if args.no_recall_gap_penalty
+                else {}
+            ),
         )
         metrics["mAP_L2"] = mean_ap(metrics, level=2)
         metrics["mAPH_L2"] = mean_ap(metrics, level=2, metric="APH")
