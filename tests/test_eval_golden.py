@@ -1007,3 +1007,60 @@ def test_waymo_unmatched_duplicate_fp_buckets_by_own_band():
     np.testing.assert_allclose(
         res["VEHICLE/L2/30-50/AP_bev"], 0.75, atol=1e-9
     )
+
+
+def test_waymo_saturated_vs_spread_scores_under_penalty():
+    """The debug-overfit-oracle effect, pinned by hand (round-5): a
+    PERFECT detector's penalized AP depends on its score DISTRIBUTION.
+
+    10 disjoint GTs (pts=50, so L1 == L2), 10 dets identical to the GTs
+    (IoU 1, precision 1 at every cutoff; cutoffs linspace(0, 1, 101)).
+
+    Case A — saturated scores (all 0.9, an overfit model): for c <= 0.9
+    recall is 1.0, above 0.9 it is 0.0 — ONE adjacent-cutoff recall leap
+    of 1.0. The official penalty credits only min(1.0, 0.05) of that gap
+    at precision (1+1)/2 = 1: AP = 0.05.
+
+    Case B — spread scores (0.95, 0.85, ..., 0.05, one per cutoff
+    bucket): recall climbs 0 -> 1 in TEN 0.1 leaps, each clipped to
+    0.05 at precision 1: AP = 10 * 0.05 = 0.5.
+
+    Case C — either scoring, max_recall_delta=None: the full trapezoid
+    over [0, 1] at precision 1: AP = 1.0.
+
+    Consequence pinned here because it shaped the WOD overfit oracle
+    (scripts/debug-overfit-waymo.sh): a converged model cannot read
+    ~1.0 under the official protocol no matter how many GTs the corpus
+    has, unless its scores spread across cutoffs — so the oracle reports
+    the unpenalized number alongside the protocol-faithful one.
+    """
+    ts = 1_000_000_000
+    rows = [
+        [5.0 + 10.0 * i, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0, ts]
+        for i in range(10)
+    ]
+    gts = _frame(rows, pts=[50] * 10)
+
+    dts_sat = _frame(rows, scores=[0.9] * 10)
+    pen_sat = waymo_eval.evaluate_waymo(
+        dts_sat, gts, ["VEHICLE"], mode="bev"
+    )
+    np.testing.assert_allclose(
+        pen_sat["VEHICLE/L2/0-inf/AP_bev"], 0.05, atol=1e-9
+    )
+
+    dts_spread = _frame(rows, scores=[0.95 - 0.1 * i for i in range(10)])
+    pen_spread = waymo_eval.evaluate_waymo(
+        dts_spread, gts, ["VEHICLE"], mode="bev"
+    )
+    np.testing.assert_allclose(
+        pen_spread["VEHICLE/L2/0-inf/AP_bev"], 0.5, atol=1e-9
+    )
+
+    for dts in (dts_sat, dts_spread):
+        raw = waymo_eval.evaluate_waymo(
+            dts, gts, ["VEHICLE"], mode="bev", max_recall_delta=None
+        )
+        np.testing.assert_allclose(
+            raw["VEHICLE/L2/0-inf/AP_bev"], 1.0, atol=1e-9
+        )
