@@ -71,6 +71,33 @@ def quantization(m: Optional[str]):
         _MODE = prev
 
 
+def _use_conv_pallas(mod: "Int8Conv", x: Array) -> bool:
+    """Route this conv through the fused Pallas kernel?
+
+    Opt-in via ``RV3D_CONV_PALLAS=1``. Eligible: 3x3 'same'-padded,
+    height-stride 1, width-stride 1/2, no bias (every BN-bearing int8
+    conv in the network), channels <= ``RV3D_CONV_PALLAS_CMAX``
+    (default 256 — the 512-channel head towers already run at 84% of
+    the int8 MXU peak and are excluded; raise to include them).
+    """
+    import os
+
+    if os.environ.get("RV3D_CONV_PALLAS", "") != "1":
+        return False
+    cmax = int(os.environ.get("RV3D_CONV_PALLAS_CMAX", "256"))
+    return (
+        tuple(mod.kernel_size) == (3, 3)
+        and mod.strides[0] == 1
+        and mod.strides[1] in (1, 2)
+        and tuple(map(tuple, mod.padding)) == ((1, 1), (1, 1))
+        and not mod.use_bias
+        and x.ndim == 4
+        and x.shape[-1] <= cmax
+        and mod.features <= cmax
+        and (mod.strides[1] == 1 or x.shape[2] % 2 == 0)
+    )
+
+
 class Int8Conv(nn.Module):
     """Drop-in int8 replacement for the ``nn.Conv`` inside ConvNormAct.
 
@@ -115,15 +142,32 @@ class Int8Conv(nn.Module):
             -_INT8_MAX,
             _INT8_MAX,
         ).astype(jnp.int8)
-        acc = jax.lax.conv_general_dilated(
-            x_i8,
-            w_i8,
-            window_strides=self.strides,
-            padding=self.padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        y = acc.astype(jnp.float32) * (in_scale * w_scale)
+        if _use_conv_pallas(self, x):
+            from ..kernels.conv_pallas import conv3x3_i8_fused
+
+            # Fused conv + dequant: the s32 accumulator never leaves
+            # VMEM (kernels/conv_pallas.py). Bit-identical operands and
+            # accumulation; the bf16 output feeds the same BN/ReLU
+            # epilogue. Bias (rare here: only norm=False convs carry
+            # one, and those run fp) stays on the XLA side below.
+            y = conv3x3_i8_fused(
+                x_i8,
+                w_i8.reshape(kh * kw, x.shape[-1], self.features),
+                in_scale * w_scale,
+                stride_w=self.strides[1],
+                out_dtype=self.dtype,
+                interpret=jax.default_backend() == "cpu",
+            ).astype(jnp.float32)
+        else:
+            acc = jax.lax.conv_general_dilated(
+                x_i8,
+                w_i8,
+                window_strides=self.strides,
+                padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (in_scale * w_scale)
         if self.use_bias:
             bias = self.param(
                 "bias", self.bias_init, (self.features,), self.param_dtype
