@@ -70,7 +70,7 @@ def test_int8conv_routes_through_kernel(monkeypatch):
         return Int8Conv(
             features=16,
             kernel_size=(3, 3),
-            strides=(1, 2),
+            strides=(1, 1),
             padding=((1, 1), (1, 1)),
             use_bias=False,
             kernel_init=jax.nn.initializers.lecun_normal(),
@@ -111,6 +111,11 @@ def test_gate_rejects_ineligible(monkeypatch):
     assert not quantized._use_conv_pallas(f, x)
     f = Fake()
     f.strides = (2, 1)
+    assert not quantized._use_conv_pallas(f, x)
+    # stride-2 width is interpret-only (Mosaic shape-cast limitation);
+    # the per-stage downsample convs stay on the XLA path.
+    f = Fake()
+    f.strides = (1, 2)
     assert not quantized._use_conv_pallas(f, x)
     f = Fake()
     f.features = 512
