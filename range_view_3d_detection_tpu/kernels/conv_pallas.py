@@ -23,9 +23,12 @@ never leaving the chip.
 
 Width stride 2 (the strided second conv of each stage's first
 BasicBlock, reference ``blocks/__init__.py::BasicBlock`` stride
-placement) is handled by splitting the input row into even/odd column
-phases: ``out[w]`` reads ``in[2w-1], in[2w], in[2w+1]`` =
-``odd[w-1], even[w], odd[w]`` — static slices, no strided loads.
+placement) splits the input into even/odd column phases — ``out[w]``
+reads ``in[2w-1], in[2w], in[2w+1]`` = ``odd[w-1], even[w], odd[w]`` —
+with the deinterleave done by two XLA strided slices BEFORE the
+``pallas_call``: the equivalent in-kernel reshape is a vector shape
+cast Mosaic rejects on the v5e ("infer-vector-layout: unsupported
+shape cast").
 
 Semantics are bit-identical to the XLA path (same int8 operands, int32
 accumulation, f32 dequant); ``tests/test_conv_pallas.py`` pins
@@ -62,7 +65,6 @@ def _conv_kernel(
     acc_ref,
     *,
     height: int,
-    stride_w: int,
     out_dtype,
 ):
     k = pl.program_id(2)
@@ -79,26 +81,60 @@ def _conv_kernel(
     x = jnp.where(edge, jnp.zeros_like(x), x)
 
     acc = acc_ref[:]
-    if stride_w == 1:
-        for dx in range(3):
-            acc = acc + jnp.dot(
-                _shift_w(x, dx), w_ref[dx],
-                preferred_element_type=jnp.int32,
-            )
-    else:  # stride 2: out[w] reads in[2w-1], in[2w], in[2w+1]
-        W2 = x.shape[0] // 2
-        xr = x.reshape(W2, 2, x.shape[1])
-        even, odd = xr[:, 0], xr[:, 1]
-        zeros = jnp.zeros((1, x.shape[1]), x.dtype)
-        taps = (
-            jnp.concatenate([zeros, odd[: W2 - 1]], axis=0),  # in[2w-1]
-            even,                                             # in[2w]
-            odd,                                              # in[2w+1]
+    for dx in range(3):
+        acc = acc + jnp.dot(
+            _shift_w(x, dx), w_ref[dx],
+            preferred_element_type=jnp.int32,
         )
-        for dx in range(3):
-            acc = acc + jnp.dot(
-                taps[dx], w_ref[dx], preferred_element_type=jnp.int32
-            )
+    acc_ref[:] = acc
+
+    @pl.when(k == 2)
+    def _():
+        out_ref[0, 0] = (
+            acc_ref[:].astype(jnp.float32) * dq_ref[:]
+        ).astype(out_dtype)
+
+
+def _conv_kernel_s2(
+    xe_ref,
+    xo_ref,
+    w_ref,
+    dq_ref,
+    out_ref,
+    acc_ref,
+    *,
+    height: int,
+    out_dtype,
+):
+    """Width-stride-2 twin: ``out[w]`` reads ``in[2w-1], in[2w], in[2w+1]``
+    = ``odd[w-1], even[w], odd[w]``. The caller pre-splits the input into
+    even/odd column phases in XLA — an in-kernel deinterleave reshape is
+    a vector shape cast Mosaic rejects on the v5e."""
+    k = pl.program_id(2)
+    h = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xe = xe_ref[0, 0]
+    xo = xo_ref[0, 0]
+    edge = ((k == 0) & (h == 0)) | ((k == 2) & (h == height - 1))
+    xe = jnp.where(edge, jnp.zeros_like(xe), xe)
+    xo = jnp.where(edge, jnp.zeros_like(xo), xo)
+
+    W2 = xe.shape[0]
+    zeros = jnp.zeros((1, xe.shape[1]), xe.dtype)
+    taps = (
+        jnp.concatenate([zeros, xo[: W2 - 1]], axis=0),  # in[2w-1]
+        xe,                                              # in[2w]
+        xo,                                              # in[2w+1]
+    )
+    acc = acc_ref[:]
+    for dx in range(3):
+        acc = acc + jnp.dot(
+            taps[dx], w_ref[dx], preferred_element_type=jnp.int32
+        )
     acc_ref[:] = acc
 
     @pl.when(k == 2)
@@ -141,11 +177,13 @@ def conv3x3_i8_fused(
         raise ValueError("stride-2 fused conv requires even width")
     Wo = W // stride_w
 
-    xspec = pl.BlockSpec(
-        (1, 1, W, Cin),
-        lambda b, h, k: (b, jnp.clip(h + k - 1, 0, H - 1), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    def row_spec(width, ch):
+        return pl.BlockSpec(
+            (1, 1, width, ch),
+            lambda b, h, k: (b, jnp.clip(h + k - 1, 0, H - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     wspec = pl.BlockSpec(
         (3, Cin, Cout), lambda b, h, k: (k, 0, 0), memory_space=pltpu.VMEM
     )
@@ -154,16 +192,8 @@ def conv3x3_i8_fused(
         (1, 1, Wo, Cout), lambda b, h, k: (b, h, 0, 0),
         memory_space=pltpu.VMEM,
     )
-
-    return pl.pallas_call(
-        functools.partial(
-            _conv_kernel,
-            height=H,
-            stride_w=stride_w,
-            out_dtype=out_dtype,
-        ),
+    common = dict(
         grid=(B, H, 3),
-        in_specs=[xspec, wspec, vec],
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((B, H, Wo, Cout), out_dtype),
         scratch_shapes=[pltpu.VMEM((Wo, Cout), jnp.int32)],
@@ -171,4 +201,24 @@ def conv3x3_i8_fused(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(x_i8, w_i8, dq.astype(jnp.float32))
+    )
+
+    if stride_w == 1:
+        return pl.pallas_call(
+            functools.partial(_conv_kernel, height=H, out_dtype=out_dtype),
+            in_specs=[row_spec(W, Cin), wspec, vec],
+            **common,
+        )(x_i8, w_i8, dq.astype(jnp.float32))
+
+    # Even/odd column-phase pre-split in XLA (one strided copy each;
+    # Mosaic rejects the equivalent in-kernel deinterleave on TPU).
+    return pl.pallas_call(
+        functools.partial(_conv_kernel_s2, height=H, out_dtype=out_dtype),
+        in_specs=[row_spec(Wo, Cin), row_spec(Wo, Cin), wspec, vec],
+        **common,
+    )(
+        x_i8[:, :, 0::2, :],
+        x_i8[:, :, 1::2, :],
+        w_i8,
+        dq.astype(jnp.float32),
+    )

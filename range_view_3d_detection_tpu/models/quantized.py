@@ -85,18 +85,16 @@ def _use_conv_pallas(mod: "Int8Conv", x: Array) -> bool:
     if os.environ.get("RV3D_CONV_PALLAS", "") != "1":
         return False
     cmax = int(os.environ.get("RV3D_CONV_PALLAS_CMAX", "256"))
-    # stride-2 width is interpret-only: its even/odd-phase reshape is a
-    # vector shape cast Mosaic rejects on hardware ("infer-vector-layout:
-    # unsupported shape cast", v5e). The four per-stage downsample convs
-    # stay on the XLA path.
     return (
         tuple(mod.kernel_size) == (3, 3)
-        and tuple(mod.strides) == (1, 1)
+        and mod.strides[0] == 1
+        and mod.strides[1] in (1, 2)
         and tuple(map(tuple, mod.padding)) == ((1, 1), (1, 1))
         and not mod.use_bias
         and x.ndim == 4
         and x.shape[-1] <= cmax
         and mod.features <= cmax
+        and (mod.strides[1] == 1 or x.shape[2] % 2 == 0)
     )
 
 

@@ -112,11 +112,13 @@ def test_gate_rejects_ineligible(monkeypatch):
     f = Fake()
     f.strides = (2, 1)
     assert not quantized._use_conv_pallas(f, x)
-    # stride-2 width is interpret-only (Mosaic shape-cast limitation);
-    # the per-stage downsample convs stay on the XLA path.
     f = Fake()
     f.strides = (1, 2)
-    assert not quantized._use_conv_pallas(f, x)
+    assert quantized._use_conv_pallas(f, x)
+    # odd width cannot split into even/odd column phases
+    assert not quantized._use_conv_pallas(
+        f, jnp.zeros((1, 4, 15, 64), jnp.int8)
+    )
     f = Fake()
     f.features = 512
     assert not quantized._use_conv_pallas(f, x)
